@@ -15,5 +15,17 @@ from .bitpack import (
     unpack_over_cols,
     unpack_over_rows,
 )
+from .core import (
+    GemLiteLinear,
+    GemLiteLinearTPU,
+    forward_functional,
+    get_matmul_type,
+    set_acc_dtype,
+    set_packing_bitwidth,
+    GEMLITE_MATMUL_TYPES,
+)
+from .utils import set_autotune_setting
+from . import ops as _ops_registration  # wires the kernel registry
+from .ops import dispatch as _dispatch  # noqa: F401
 
 __version__ = "0.1.0"

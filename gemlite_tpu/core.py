@@ -1,0 +1,525 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Layer API + functional dispatch.
+
+``GemLiteLinear`` is the product surface: a quantized linear layer holding
+packed weights + group metadata as jnp arrays and a 12-int metadata vector
+(bit-compatible with the reference layout, core.py:525-538) as static config.
+
+Unlike the reference torch.nn.Module, the layer is a registered JAX pytree:
+arrays are leaves, all mode/shape metadata is static aux data — so a layer (or
+a whole model of layers) can be passed straight through ``jax.jit`` /
+``shard_map`` and each distinct configuration compiles exactly once.
+
+Forward semantics follow reference core.py:128-195 (``forward_functional``):
+optional dynamic activation quantization -> matmul-type selection by flattened
+batch size -> fused dequant+matmul kernel -> bias add.
+"""
+
+import json
+import logging
+import threading
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import (
+    DType,
+    FP8_INT8_DTYPES,
+    JAX_TO_DTYPE,
+    is_mx_dtype,
+    to_jax_dtype,
+)
+from .bitpack import pack_weights_over_cols
+from .quant import (
+    scale_activations_per_token,
+    scale_activations_mxfp8,
+    scale_activations_mxfp4,
+    scale_activations_nvfp4,
+)
+
+logger = logging.getLogger(__name__)
+_FILE_LOCK = threading.Lock()
+
+# ---------------------------------------------------------------------------
+# Accumulator policy. TPU MXU natively accumulates fp32 (and int32 for int8
+# operands); there is no consumer-GPU fp16-accumulation fast path to detect
+# (reference core.py:39-54 probes GPU names — irrelevant here).
+# ---------------------------------------------------------------------------
+GEMLITE_ACC_DTYPE = {
+    DType.FP16: DType.FP32,
+    DType.BF16: DType.FP32,
+    DType.FP32: DType.FP32,
+    DType.FP8: DType.FP32,
+    DType.FP8e4: DType.FP32,
+    DType.FP8e4nuz: DType.FP32,
+    DType.FP8e5: DType.FP32,
+    DType.FP8e5nuz: DType.FP32,
+    DType.INT8: DType.INT32,
+    DType.MXFP16: DType.FP32,
+    DType.MXBF16: DType.FP32,
+    DType.MXFP8: DType.FP32,
+    DType.MXFP4: DType.FP32,
+    DType.NVFP4: DType.FP32,
+}
+
+# Kernel family names. Order defines the integer ids used by forward_manual —
+# identical to the reference registry order (core.py:56-66) for API parity.
+# On TPU all five are regime-tuned configurations of the fused Pallas kernel
+# family (see ops/): the GEMV/SPLITK distinctions of the GPU implementation
+# (warp shapes, atomics) do not transfer to a systolic-array machine.
+GEMLITE_MATMUL_TYPES = ["GEMV", "GEMV_REVSPLITK", "GEMV_SPLITK", "GEMM_SPLITK", "GEMM"]
+GEMLITE_MATMUL_TYPES_MAPPING = {name: i for i, name in enumerate(GEMLITE_MATMUL_TYPES)}
+
+# matmul_type -> callable(x, layer-state..., meta: LayerMeta) -> (M, N).
+# Populated by ops/dispatch at import; "_ref" is the jnp oracle fallback.
+GEMLITE_KERNEL_REGISTRY = {}
+
+
+def set_acc_dtype(dtype):
+    """Override the fp16 accumulation dtype (API parity, reference core.py:94-97)."""
+    assert dtype in (DType.FP16, DType.FP32), "acc dtype must be FP16 or FP32"
+    GEMLITE_ACC_DTYPE[DType.FP16] = dtype
+
+
+def get_default_gemv(W_nbits: int, mx_dtype: bool = False) -> str:
+    """M==1 kernel choice (reference core.py:100-105)."""
+    if mx_dtype:
+        return "GEMM_SPLITK"
+    return "GEMV_REVSPLITK" if W_nbits < 8 else "GEMV_SPLITK"
+
+
+def get_matmul_type(batch_size: int, W_nbits: int, mx_dtype: bool = False) -> str:
+    """Kernel regime by flattened batch size (reference core.py:108-114)."""
+    if batch_size > 64:
+        return "GEMM"
+    if batch_size > 1:
+        return "GEMM_SPLITK"
+    return get_default_gemv(W_nbits, mx_dtype)
+
+
+class LayerMeta(NamedTuple):
+    """Static (hashable) layer configuration.
+
+    Fields [0:12] are the reference 12-int metadata vector in the exact
+    reference order (core.py:525-538); the rest is TPU-side static info.
+    """
+
+    scaled_activations: int
+    W_nbits: int
+    group_size: int
+    unpack_mask: int
+    elements_per_sample: int
+    input_dtype: int
+    output_dtype: int
+    acc_dtype: int
+    meta_dtype: int
+    channel_scale_mode: int
+    W_group_mode: int
+    data_contiguous: int
+    # --- TPU-side statics (not part of the reference vector) ---
+    in_features: int = 0
+    out_features: int = 0
+    zero_is_scalar: int = 0
+    packing_bitwidth: int = 32
+
+    @property
+    def meta_args(self):
+        return list(self[:12])
+
+
+def forward_functional(x, bias, tensor_args, meta: LayerMeta, matmul_type: int = -1):
+    """Pure functional fused forward (jit-traceable; all shapes/modes static).
+
+    Mirrors reference core.py:128-195: dynamic activation quantization by
+    input dtype + channel_scale_mode routing, then matmul-type selection by the
+    flattened batch size (a static shape under jit), then the kernel call.
+    """
+    W_q, scales, zeros = tensor_args
+    out_features = meta.out_features
+    orig_shape = x.shape
+    batch_size = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    out_shape = x.shape[:-1] + (out_features,)
+
+    input_dtype = DType(meta.input_dtype)
+    scales_x = None
+    if meta.scaled_activations:
+        csm = meta.channel_scale_mode
+        if input_dtype in FP8_INT8_DTYPES:
+            x, scales_x = scale_activations_per_token(x, to_jax_dtype(input_dtype))
+        elif input_dtype == DType.MXFP8 and csm == 4:
+            x, scales_x = scale_activations_mxfp8(x, jnp.float8_e4m3fn)
+        elif input_dtype == DType.MXFP8 and csm == 2:
+            x, scales_x = scale_activations_per_token(x, jnp.float8_e4m3fn)
+        elif input_dtype == DType.MXFP4 and csm == 4:
+            x, scales_x = scale_activations_mxfp4(x)
+        elif input_dtype == DType.NVFP4 and csm == 4:
+            x, scales_x = scale_activations_nvfp4(x)
+
+    x = x.reshape(-1, x.shape[-1])
+
+    if matmul_type >= 0:
+        matmul_type_str = GEMLITE_MATMUL_TYPES[matmul_type]
+    else:
+        matmul_type_str = get_matmul_type(batch_size, meta.W_nbits, is_mx_dtype(input_dtype))
+
+    kernel = GEMLITE_KERNEL_REGISTRY.get(matmul_type_str, GEMLITE_KERNEL_REGISTRY["_ref"])
+    out = kernel(x, W_q, scales, zeros, scales_x, meta).reshape(out_shape)
+
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class GemLiteLinear:
+    """Quantized linear layer. ``pack()`` once offline, then call like a function.
+
+    Capability surface mirrors reference GemLiteLinearTriton (core.py:210-627):
+    same supported bit-widths/dtypes, same pack() mode decision tree, same
+    metadata vector; but functional/pytree-native instead of nn.Module.
+    """
+
+    SUPPORTED_BITS = [1, 2, 4, 8, 16, 32]
+    SUPPORTED_DTYPES = [
+        DType.FP16, DType.BF16, DType.FP32,
+        DType.FP8, DType.FP8e4, DType.FP8e4nuz, DType.FP8e5, DType.FP8e5nuz,
+        DType.INT8,
+        DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4, DType.NVFP4,
+    ]
+    MIN_SIZE = 32
+    PACKING_BITWIDTH = 32
+
+    def __init__(
+        self,
+        W_nbits: int = 4,
+        group_size: Optional[int] = 64,
+        in_features: Optional[int] = None,
+        out_features: Optional[int] = None,
+        input_dtype: DType = DType.BF16,
+        output_dtype: DType = DType.BF16,
+        acc_dtype: Optional[DType] = None,
+        scaled_activations: bool = False,
+    ):
+        if W_nbits not in self.SUPPORTED_BITS:
+            raise NotImplementedError(f"Only {self.SUPPORTED_BITS} W_nbits are supported.")
+        if input_dtype not in self.SUPPORTED_DTYPES:
+            raise NotImplementedError(f"Unsupported input dtype: {input_dtype}")
+        if in_features is not None and out_features is not None:
+            bad_min = in_features % self.MIN_SIZE != 0
+            bad_gs = (in_features % group_size != 0) if group_size is not None else False
+            if bad_min or bad_gs:
+                raise NotImplementedError(
+                    f"Invalid input shapes {in_features}, {out_features}: in_features "
+                    f"must be divisible by {self.MIN_SIZE} and by group_size."
+                )
+        if group_size is not None and group_size < 16:
+            raise NotImplementedError("Only group_size >= 16 is supported.")
+
+        group_size = 1 if group_size is None else group_size
+
+        self.in_features = in_features
+        self.out_features = out_features
+        self.orig_shape = (out_features, in_features)
+        self.W_nbits = W_nbits
+        self.group_size = group_size
+        self.unpack_mask = 2**W_nbits - 1
+        self.elements_per_sample = None
+        self.signature = (in_features, out_features, W_nbits, group_size)
+
+        self.input_dtype = input_dtype
+        self.output_dtype = output_dtype
+        self.compute_dtype = to_jax_dtype(input_dtype)
+        self.meta_dtype = input_dtype
+        self.acc_dtype = GEMLITE_ACC_DTYPE[input_dtype] if acc_dtype is None else acc_dtype
+
+        # float activations are never dynamically quantized (reference core.py:293-296)
+        if self.compute_dtype in (jnp.float16, jnp.bfloat16, jnp.float32):
+            self.scaled_activations = False
+        else:
+            self.scaled_activations = scaled_activations
+
+        self.W_q = None
+        self.scales = None
+        self.zeros = None
+        self.bias = None
+        self.channel_scale_mode = 0
+        self.W_group_mode = -1
+        self.data_contiguous = True
+        self.zero_is_scalar = False
+        self.packing_bitwidth = None
+
+    # ------------------------------------------------------------------
+    # pack(): offline weight preparation + dequant-mode decision tree.
+    # Semantics re-derived from reference core.py:336-519.
+    # ------------------------------------------------------------------
+    def pack(self, W_q, scales=None, zeros=None, bias=None, fma_mode: bool = True,
+             contiguous: Optional[bool] = None, packing_bitwidth: Optional[int] = None):
+        W_q = jnp.asarray(W_q)
+
+        # INT8 activations cannot absorb floating-point zero-points
+        if zeros is not None and self.input_dtype == DType.INT8:
+            if isinstance(zeros, float) and zeros != int(zeros):
+                raise ValueError("INT8 inputs are not compatible with floating-point zeros.")
+            if hasattr(zeros, "dtype") and jnp.issubdtype(jnp.asarray(zeros).dtype, jnp.floating):
+                zf = jnp.asarray(zeros)
+                if bool(jnp.any(zf != jnp.round(zf))):
+                    raise ValueError("INT8 inputs are not compatible with floating-point zeros.")
+
+        if packing_bitwidth is None:
+            packing_bitwidth = GemLiteLinear.PACKING_BITWIDTH
+        if is_mx_dtype(self.input_dtype):
+            packing_bitwidth = 8  # MX formats use byte packing
+
+        if self.out_features is None or self.in_features is None:
+            self.out_features, self.in_features = W_q.shape
+            self.orig_shape = (self.out_features, self.in_features)
+
+        # --- weight storage -------------------------------------------------
+        if W_q.dtype == jnp.uint8:
+            # packed low-bit path: (N, K) uint8 -> (K // elems, N) ints
+            self.W_q, self.elements_per_sample = pack_weights_over_cols(
+                W_q.reshape(self.orig_shape), self.W_nbits, packing_bitwidth, transpose=True
+            )
+            if contiguous is None:
+                contiguous = not is_mx_dtype(self.input_dtype)
+        elif W_q.dtype == jnp.int8 or jnp.issubdtype(W_q.dtype, jnp.floating):
+            # non-packed 8/16/32-bit weights stored transposed (K, N)
+            if W_q.dtype == jnp.float32:
+                assert self.W_nbits == 32, "fp32 weights require W_nbits=32"
+            elif W_q.dtype in (jnp.float16, jnp.bfloat16):
+                assert self.W_nbits == 16, "fp16/bf16 weights require W_nbits=16"
+            else:
+                assert self.W_nbits == 8, "8-bit weights require W_nbits=8"
+            self.W_q = W_q.T
+            self.elements_per_sample = 1
+            if contiguous is None:
+                contiguous = False
+        else:
+            raise ValueError(f"Cannot pack W_q with dtype {W_q.dtype}")
+
+        self.packing_bitwidth = packing_bitwidth
+        self.bias = None if bias is None else jnp.asarray(bias)
+
+        # --- dequant mode decision tree -------------------------------------
+        self.W_group_mode = -1
+        self.channel_scale_mode = 0
+
+        if scales is None and zeros is None:
+            # no-metadata case (fp16xfp16 / fp8xfp8 / int8xint8)
+            self.scales = None
+            self.zeros = None
+            self.W_group_mode = 0
+            self.channel_scale_mode = 2 if self.scaled_activations else 0
+
+        if scales is not None:
+            self.scales = jnp.asarray(scales).reshape(self.out_features, -1).T
+        else:
+            self.scales = None
+
+        meta_is_channelwise = (
+            False if self.scales is None else self.scales.size == self.out_features
+        )
+
+        if zeros is None:
+            self.zeros = None
+            if self.W_group_mode == -1:
+                self.W_group_mode = 2 if self.scales is not None else 0
+        else:
+            if hasattr(zeros, "ndim") and jnp.asarray(zeros).ndim > 0:
+                z = jnp.asarray(zeros)
+                if fma_mode and not meta_is_channelwise:
+                    # fold: W ~ W_q * s + (-z*s), fused as one fma in-kernel
+                    zf = (-z.astype(jnp.float32) * jnp.asarray(scales).astype(jnp.float32))
+                    self.zeros = zf.astype(z.dtype).reshape(self.out_features, -1).T
+                    self.W_group_mode = 4
+                else:
+                    # W ~ (W_q - z) * s
+                    self.zeros = z.reshape(self.out_features, -1).T
+                    self.W_group_mode = 3
+            else:
+                # scalar integer zero-point
+                self.zeros = int(zeros)
+                self.W_group_mode = 3 if self.scales is not None else 1
+
+        assert self.W_group_mode > -1, "Invalid scales/zeros settings."
+
+        # post-accumulation channel scaling overrides
+        if not self.scaled_activations and meta_is_channelwise:
+            self.channel_scale_mode = 1
+            self.W_group_mode = 1 if self.zeros is not None else 0
+        if self.scaled_activations and not meta_is_channelwise:
+            self.channel_scale_mode = 2
+        if self.scaled_activations and meta_is_channelwise:
+            self.channel_scale_mode = 3
+            self.W_group_mode = 1 if self.zeros is not None else 0
+
+        if self.channel_scale_mode in (1, 3):
+            assert self.W_group_mode not in (3, 4), \
+                "channel_scale_mode 1/3 is incompatible with W_group_mode 3/4."
+
+        # normalize zeros representation
+        self.zero_is_scalar = isinstance(self.zeros, int)
+        if self.zero_is_scalar:
+            self.zeros = jnp.asarray(self.zeros, dtype=jnp.int32)
+
+        self.data_contiguous = bool(contiguous)
+
+        # --- MX scale storage: e8m0 (as uint8) / fp8-e4m3, forced mode 2 ----
+        if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4):
+            self.scales = jax.lax.bitcast_convert_type(
+                self.scales.astype(jnp.float8_e8m0fnu), jnp.uint8
+            )
+        if self.input_dtype == DType.NVFP4:
+            self.scales = self.scales.astype(jnp.float8_e4m3fn)
+        if is_mx_dtype(self.input_dtype):
+            # NOTE: kept (G, N) — unlike the reference's extra transpose for
+            # tl.dot_scaled (core.py:495); our kernels define the layout.
+            self.W_group_mode = 2
+            self.channel_scale_mode = 0
+
+        if self.scales is not None:
+            self.meta_dtype = JAX_TO_DTYPE[jnp.dtype(self.scales.dtype)] \
+                if jnp.dtype(self.scales.dtype) in JAX_TO_DTYPE else self.meta_dtype
+
+        return self
+
+    # ------------------------------------------------------------------
+    def get_tensor_args(self):
+        return [self.W_q, self.scales, self.zeros]
+
+    def get_meta_args(self):
+        """The reference 12-int metadata vector (core.py:525-538)."""
+        return list(self.meta[:12])
+
+    @property
+    def meta(self) -> LayerMeta:
+        return LayerMeta(
+            scaled_activations=int(self.scaled_activations),
+            W_nbits=self.W_nbits,
+            group_size=self.group_size,
+            unpack_mask=self.unpack_mask,
+            elements_per_sample=self.elements_per_sample,
+            input_dtype=self.input_dtype.value,
+            output_dtype=self.output_dtype.value,
+            acc_dtype=self.acc_dtype.value,
+            meta_dtype=self.meta_dtype.value,
+            channel_scale_mode=self.channel_scale_mode,
+            W_group_mode=self.W_group_mode,
+            data_contiguous=int(self.data_contiguous),
+            in_features=self.in_features,
+            out_features=self.out_features,
+            zero_is_scalar=int(self.zero_is_scalar),
+            packing_bitwidth=self.packing_bitwidth or 32,
+        )
+
+    def forward_manual(self, x, matmul_type: str = "GEMM"):
+        return forward_functional(
+            x, self.bias, self.get_tensor_args(), self.meta,
+            GEMLITE_MATMUL_TYPES_MAPPING[matmul_type],
+        )
+
+    def __call__(self, x):
+        return forward_functional(x, self.bias, self.get_tensor_args(), self.meta)
+
+    forward = __call__
+
+    # ------------------------------------------------------------------
+    # Serialization: arrays + metadata vector + orig_shape, like the
+    # reference state_dict round-trip (core.py:301-333, 502-517).
+    # ------------------------------------------------------------------
+    def state_dict(self):
+        sd = {
+            "metadata": np.asarray(self.get_meta_args(), dtype=np.int32),
+            "orig_shape": np.asarray([self.out_features, self.in_features], dtype=np.int32),
+            "W_q": np.asarray(self.W_q),
+        }
+        if self.scales is not None:
+            sd["scales"] = np.asarray(self.scales)
+        if self.zeros is not None:
+            sd["zeros"] = np.asarray(self.zeros)
+        if self.bias is not None:
+            sd["bias"] = np.asarray(self.bias)
+        return sd
+
+    def load_state_dict(self, state_dict):
+        sd = dict(state_dict)
+        meta = [int(v) for v in np.asarray(sd.pop("metadata"))]
+        (scaled_activations, self.W_nbits, self.group_size, self.unpack_mask,
+         self.elements_per_sample, input_dtype, output_dtype, acc_dtype,
+         meta_dtype, self.channel_scale_mode, self.W_group_mode,
+         data_contiguous) = meta
+
+        self.scaled_activations = bool(scaled_activations)
+        self.data_contiguous = bool(data_contiguous)
+        self.input_dtype = DType(input_dtype)
+        self.output_dtype = DType(output_dtype)
+        self.acc_dtype = DType(acc_dtype)
+        self.meta_dtype = DType(meta_dtype)
+        self.compute_dtype = to_jax_dtype(self.input_dtype)
+
+        self.out_features, self.in_features = (int(v) for v in np.asarray(sd.pop("orig_shape")))
+        self.orig_shape = (self.out_features, self.in_features)
+
+        self.W_q = jnp.asarray(sd.pop("W_q"))
+        self.scales = jnp.asarray(sd["scales"]) if "scales" in sd else None
+        zeros = sd.get("zeros")
+        self.zeros = jnp.asarray(zeros) if zeros is not None else None
+        self.zero_is_scalar = self.zeros is not None and self.zeros.ndim == 0
+        self.bias = jnp.asarray(sd["bias"]) if "bias" in sd else None
+        self.packing_bitwidth = 32
+        if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4) \
+           and self.scales is not None and self.scales.dtype != jnp.uint8:
+            self.scales = jax.lax.bitcast_convert_type(self.scales, jnp.uint8)
+        return self
+
+    def save(self, path: str):
+        np.savez(path, **self.state_dict())
+
+    @classmethod
+    def load(cls, path: str):
+        with np.load(path, allow_pickle=False) as data:
+            layer = cls.__new__(cls)
+            layer.bias = None
+            layer.load_state_dict({k: data[k] for k in data.files})
+        return layer
+
+    # ------------------------------------------------------------------
+    # pytree protocol: arrays are leaves, LayerMeta + bias flag is aux.
+    # ------------------------------------------------------------------
+    def tree_flatten(self):
+        children = (self.W_q, self.scales, self.zeros, self.bias)
+        return children, self.meta
+
+    @classmethod
+    def tree_unflatten(cls, meta: LayerMeta, children):
+        layer = cls.__new__(cls)
+        layer.W_q, layer.scales, layer.zeros, layer.bias = children
+        layer.W_nbits = meta.W_nbits
+        layer.group_size = meta.group_size
+        layer.unpack_mask = meta.unpack_mask
+        layer.elements_per_sample = meta.elements_per_sample
+        layer.input_dtype = DType(meta.input_dtype)
+        layer.output_dtype = DType(meta.output_dtype)
+        layer.acc_dtype = DType(meta.acc_dtype)
+        layer.meta_dtype = DType(meta.meta_dtype)
+        layer.channel_scale_mode = meta.channel_scale_mode
+        layer.W_group_mode = meta.W_group_mode
+        layer.scaled_activations = bool(meta.scaled_activations)
+        layer.data_contiguous = bool(meta.data_contiguous)
+        layer.in_features = meta.in_features
+        layer.out_features = meta.out_features
+        layer.orig_shape = (meta.out_features, meta.in_features)
+        layer.zero_is_scalar = bool(meta.zero_is_scalar)
+        layer.packing_bitwidth = meta.packing_bitwidth
+        layer.compute_dtype = to_jax_dtype(layer.input_dtype)
+        layer.signature = (layer.in_features, layer.out_features, layer.W_nbits, layer.group_size)
+        return layer
+
+
+GemLiteLinearTPU = GemLiteLinear  # explicit alias
+
+
+def set_packing_bitwidth(packing_bitwidth: int):
+    GemLiteLinear.PACKING_BITWIDTH = packing_bitwidth

@@ -151,6 +151,10 @@ def forward_ref(
         )
 
     # Epilogue channel scaling (reference gemm_kernels.py:392-404).
+    # Integer meta dtypes can occur in the no-weight-metadata case; the
+    # epilogue multiply must then happen in fp32.
+    if not jnp.issubdtype(meta_jdtype, jnp.floating):
+        meta_jdtype = jnp.float32
     if channel_scale_mode == 1:  # weight-only channel-wise
         acc = acc.astype(meta_jdtype) * scales.reshape(1, -1).astype(meta_jdtype)
     elif channel_scale_mode == 2:  # activation-only

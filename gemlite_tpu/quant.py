@@ -1,0 +1,278 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Runtime quantization ops: dynamic activation quantizers + MX weight quantizer.
+
+Activation quantizers are plain jnp — XLA fuses the absmax/scale/cast chain into
+the surrounding computation (on TPU these are VPU ops folded into the matmul's
+producer fusion), so unlike the reference there is no separate kernel launch
+(reference quant_utils.py:268-347 uses dedicated Triton kernels). The behavior
+matches: per-token absmax scales, clamp, round-to-nearest for int targets.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import DType, to_jax_dtype
+
+__all__ = [
+    "get_dtype_range",
+    "scale_activations_per_token",
+    "scale_activations_mxfp8",
+    "scale_activations_mxfp4",
+    "scale_activations_nvfp4",
+    "WeightQuantizerMXFP",
+    "FP4_VALUES",
+]
+
+
+def get_dtype_range(dtype) -> Tuple[float, float]:
+    d = jnp.dtype(to_jax_dtype(dtype))
+    if jnp.issubdtype(d, jnp.floating):
+        info = jnp.finfo(d)
+    else:
+        info = jnp.iinfo(d)
+    return float(info.min), float(info.max)
+
+
+def scale_activations_per_token(x, w_dtype, fp32_scale: bool = True):
+    """Per-token (per-row) symmetric dynamic quantization.
+
+    x: (..., K) float -> (x_q in w_dtype, scales (M, 1) fp32) where
+    scale = absmax/row / max_val, clamped to >= 1e-6. Matches reference
+    quant_utils.py:231-253 numerics (round-to-nearest for int targets).
+    """
+    w_jdtype = to_jax_dtype(w_dtype)
+    min_val, max_val = get_dtype_range(w_jdtype)
+    orig_shape = x.shape
+    xf = x.reshape(-1, x.shape[-1])
+    if fp32_scale:
+        xf = xf.astype(jnp.float32)
+    scales = jnp.max(jnp.abs(xf), axis=1, keepdims=True) / max_val
+    scales = jnp.maximum(scales, 1e-6)
+    q = jnp.clip(xf / scales, min_val, max_val)
+    if not jnp.issubdtype(w_jdtype, jnp.floating):
+        q = jnp.round(q)
+    return q.astype(w_jdtype).reshape(orig_shape), scales.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# MX microscaling (OCP MX spec): power-of-two e8m0 block scales, group of 32.
+# ---------------------------------------------------------------------------
+
+_E8M0_EPS_EXP = -30  # minimum scale exponent, matches reference eps 2**-30
+
+
+def _pow2_ceil(v):
+    """Smallest power of two >= v, as (scale fp32, biased exponent int32).
+
+    Bitwise on the fp32 representation (reference
+    quant_utils.py:380-389 'next_power_of_2_bitwise'): exponent of v, +1 if any
+    mantissa bits are set, clamped to the e8m0 range.
+    """
+    xi = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.uint32)
+    exp = ((xi >> 23) & 0xFF).astype(jnp.int32)
+    mant = (xi & 0x7FFFFF).astype(jnp.int32)
+    exp = exp + jnp.where(mant != 0, 1, 0)
+    exp = jnp.clip(exp, 127 + _E8M0_EPS_EXP, 254)
+    scales = jax.lax.bitcast_convert_type((exp << 23).astype(jnp.uint32), jnp.float32)
+    return scales, exp
+
+
+def _group_view(x, group_size: int):
+    """(..., K) -> (rows padded to group multiple) x group_size view + metadata."""
+    orig_shape = x.shape
+    xf = x.reshape(-1, x.shape[-1])
+    total = xf.size
+    pad = (-total) % group_size
+    flat = xf.reshape(-1)
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(-1, group_size), orig_shape, xf.shape, pad
+
+
+def scale_activations_mxfp8(x, w_dtype=jnp.float8_e4m3fn):
+    """MXFP8 dynamic quantization: gs=32, e8m0 power-of-two scales.
+
+    Returns (x_q fp8 of x.shape, scales (M, K//32) uint8-e8m0)."""
+    group_size = 32
+    min_val, max_val = get_dtype_range(w_dtype)
+    g, orig_shape, flat2d, pad = _group_view(x, group_size)
+    g = g.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+    scales, exp = _pow2_ceil(amax / max_val)
+    q = jnp.clip(g / scales, min_val, max_val).astype(w_dtype)
+    q = q.reshape(-1)
+    if pad:
+        q = q[: flat2d[0] * flat2d[1]]
+    x_q = q.reshape(orig_shape)
+    scales_u8 = exp.astype(jnp.uint8).reshape(flat2d[0], flat2d[1] // group_size)
+    return x_q, scales_u8
+
+
+# fp4 (e2m1) codebook: the 16 representable magnitudes, index = sign<<3 | mag.
+FP4_VALUES = np.array(
+    [0, 0.5, 1, 1.5, 2, 3, 4, 6, -0.0, -0.5, -1, -1.5, -2, -3, -4, -6],
+    dtype=np.float32,
+)
+_FP4_POS = FP4_VALUES[:8]
+# decision thresholds between consecutive positive fp4 values
+_FP4_THRESHOLDS = ((_FP4_POS[:-1] + _FP4_POS[1:]) / 2).astype(np.float32)
+
+
+def round_to_fp4(x):
+    """Round to the nearest fp4 (e2m1) value. Threshold-compare formulation:
+    index = #(|x| > threshold_i), vectorized (no gather)."""
+    ax = jnp.abs(x)[..., None]
+    idx = jnp.sum((ax > jnp.asarray(_FP4_THRESHOLDS)).astype(jnp.int32), axis=-1)
+    mag = jnp.asarray(_FP4_POS)[idx]
+    return mag * jnp.sign(x), idx
+
+
+def fp4_index(x_fp4):
+    """fp4 float values -> uint8 codebook indices (sign<<3 | magnitude rank)."""
+    ax = jnp.abs(x_fp4)[..., None]
+    idx = jnp.sum((ax > jnp.asarray(_FP4_THRESHOLDS)).astype(jnp.int32), axis=-1)
+    neg = (jnp.signbit(x_fp4)).astype(jnp.int32) << 3
+    # -0 and +0 both map to 0|8; keep sign bit like the reference codebook
+    return (idx | neg).astype(jnp.uint8)
+
+
+def fp4_dequant(idx, dtype=jnp.float32):
+    """uint8 codebook indices -> fp4 float values."""
+    return jnp.asarray(FP4_VALUES, dtype=dtype)[idx.astype(jnp.int32)]
+
+
+def scale_activations_mxfp4(x):
+    """MXFP4 dynamic quantization: gs=32, e8m0 scales, fp4 codebook indices
+    packed 2 per byte (low nibble first). Returns (packed (..., K//2) uint8,
+    scales (M, K//32) uint8-e8m0)."""
+    group_size = 32
+    max_val = 6.0
+    g, orig_shape, flat2d, pad = _group_view(x, group_size)
+    g = g.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+    scales, exp = _pow2_ceil(amax / max_val)
+    vals, _ = round_to_fp4(g / scales)
+    idx = fp4_index(vals).reshape(-1)
+    if pad:
+        idx = idx[: flat2d[0] * flat2d[1]]
+    idx = idx.reshape(flat2d)
+    packed = (idx[:, 0::2] | (idx[:, 1::2] << 4)).astype(jnp.uint8)
+    packed = packed.reshape(orig_shape[:-1] + (orig_shape[-1] // 2,))
+    scales_u8 = exp.astype(jnp.uint8).reshape(flat2d[0], flat2d[1] // group_size)
+    return packed, scales_u8
+
+
+NVFP4_META_SCALE = 0.05  # global meta-scale, reference quant_utils.py:21
+
+
+def scale_activations_nvfp4(x):
+    """NVFP4: gs=16, fp8-e4m3 per-group scales x global meta-scale."""
+    group_size = 16
+    max_val = 6.0
+    eps = 1e-6
+    g, orig_shape, flat2d, pad = _group_view(x, group_size)
+    g = g.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+    ideal = amax / max_val / NVFP4_META_SCALE
+    scales_fp8 = jnp.clip(ideal, 0, 448.0).astype(jnp.float8_e4m3fn)
+    scales_full = jnp.maximum(scales_fp8.astype(jnp.float32) * NVFP4_META_SCALE, eps)
+    vals, _ = round_to_fp4(g / scales_full)
+    idx = fp4_index(vals).reshape(-1)
+    if pad:
+        idx = idx[: flat2d[0] * flat2d[1]]
+    idx = idx.reshape(flat2d)
+    packed = (idx[:, 0::2] | (idx[:, 1::2] << 4)).astype(jnp.uint8)
+    packed = packed.reshape(orig_shape[:-1] + (orig_shape[-1] // 2,))
+    scales_out = scales_fp8.reshape(flat2d[0], flat2d[1] // group_size)
+    return packed, scales_out
+
+
+# ---------------------------------------------------------------------------
+# Offline MX weight quantizer (pack-time). Mirrors the capability surface of
+# reference WeightQuantizerMXFP (quant_utils.py:70-225): mxfp8 / mxfp4 / nvfp4
+# with optional exhaustive scale-window search.
+# ---------------------------------------------------------------------------
+
+class WeightQuantizerMXFP:
+    def __init__(self, compute_dtype=jnp.bfloat16, device=None):
+        self.compute_dtype = compute_dtype
+        self.device = device  # kept for API parity; placement is sharding-driven
+
+    def quantize_mxfp8(self, W, index: bool = False, mx_fp8_dtype=jnp.float8_e4m3fn):
+        group_size = 32
+        min_val, max_val = get_dtype_range(mx_fp8_dtype)
+        Wf = jnp.asarray(W).reshape(-1, group_size).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(Wf), axis=1, keepdims=True)
+        # ceil-to-power-of-2 via exact log2 (pack-time, no perf constraint)
+        ideal = amax / max_val
+        scales = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(ideal, 1e-38))))
+        scales = jnp.maximum(scales, 2.0 ** _E8M0_EPS_EXP)
+        W_q = jnp.clip(Wf / scales, min_val, max_val).astype(mx_fp8_dtype)
+        scales_e8m0 = scales.astype(jnp.float8_e8m0fnu)
+        if not index:
+            W_q = W_q.astype(Wf.dtype)
+        return W_q, scales_e8m0
+
+    def quantize_mxfp4(self, W, window_size: int = 0, index: bool = False):
+        group_size = 32
+        max_val = 6.0
+        eps = 2.0 ** _E8M0_EPS_EXP
+        Wf = jnp.asarray(W).reshape(-1, group_size).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(Wf), axis=1, keepdims=True)
+        log2_ideal = jnp.ceil(jnp.log2(jnp.maximum(amax / max_val, 1e-38)))
+        if window_size == 0:
+            scales = jnp.exp2(log2_ideal)
+        else:
+            # exhaustive search over power-of-two scale candidates around ideal
+            offsets = jnp.arange(-window_size, window_size + 1, dtype=jnp.float32)
+            cand = jnp.exp2(log2_ideal + offsets[None, :])  # (G, W)
+            cand = jnp.maximum(cand, eps)
+            q, _ = round_to_fp4(Wf[:, None, :] / cand[:, :, None])
+            err = jnp.mean(jnp.abs(Wf[:, None, :] - q * cand[:, :, None]), axis=-1)
+            best = jnp.argmin(err, axis=1, keepdims=True)
+            scales = jnp.take_along_axis(cand, best, axis=1)
+        scales = jnp.maximum(scales, eps)
+        W_q, _ = round_to_fp4(Wf / scales)
+        scales_e8m0 = scales.astype(jnp.float8_e8m0fnu)
+        if index:
+            W_q = fp4_index(W_q)
+        return W_q, scales_e8m0
+
+    def quantize_nvfp4(self, W, window_size: int = 0, index: bool = False):
+        group_size = 16
+        eps = 1e-6
+        max_val = 6.0
+        Wf = jnp.asarray(W).reshape(-1, group_size).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(Wf), axis=1, keepdims=True)
+        ideal = amax / max_val / NVFP4_META_SCALE
+        scales = jnp.clip(ideal, 0, 448.0).astype(jnp.float8_e4m3fn)
+        if window_size > 0:
+            # search over neighbouring fp8 codes (reference quant_utils.py:184-206)
+            base = scales.astype(jnp.float32)
+            offsets = jnp.arange(-window_size, window_size + 1, dtype=jnp.float32)
+            # power-of-two neighbourhood around the ideal scale (dominates the
+            # e4m3 code-space step for candidates of interest)
+            cand = jnp.maximum(base * jnp.exp2(offsets[None, :]), eps)
+            full = cand * NVFP4_META_SCALE
+            q, _ = round_to_fp4(Wf[:, None, :] / full[:, :, None])
+            err = jnp.mean(jnp.abs(Wf[:, None, :] - q * cand[:, :, None]), axis=-1)
+            best = jnp.argmin(err, axis=1, keepdims=True)
+            scales = jnp.take_along_axis(cand, best, axis=1).astype(jnp.float8_e4m3fn)
+        scales_full = jnp.maximum(scales.astype(jnp.float32) * NVFP4_META_SCALE, eps)
+        W_q, _ = round_to_fp4(Wf / scales_full)
+        if index:
+            W_q = fp4_index(W_q)
+        return W_q, scales
+
+    def dequantize(self, W_q, scales, shape=None, dtype=None):
+        if W_q.dtype == jnp.uint8:
+            W_q = fp4_dequant(W_q)
+        group_size = W_q.size // scales.size
+        out = W_q.reshape(-1, group_size).astype(jnp.float32) * scales.reshape(-1, 1).astype(jnp.float32)
+        if shape is not None:
+            out = out.reshape(shape)
+        return out.astype(self.compute_dtype if dtype is None else dtype)
