@@ -1,0 +1,159 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Kernel configuration + persisted autotune cache.
+
+TPU equivalent of the reference's three config layers
+(triton_kernels/config.py + @triton.autotune + configs/*.json):
+
+  (a) global flags (`AUTOTUNE`, `KERNEL`) with the same setter API —
+      but applied at call time (no module reloading);
+  (b) per-call block-size selection: heuristic defaults, overridden by
+  (c) a persisted JSON cache keyed by the same signature the reference uses:
+      str((M_bucket, N, K, group_size, elements_per_sample, type_id))
+      (reference core.py:74-83) mapping to Pallas block sizes.
+
+The autotuner that fills (c) by benchmarking lives in autotune.py.
+"""
+
+import json
+import logging
+import os
+import threading
+from dataclasses import dataclass, asdict
+
+logger = logging.getLogger(__name__)
+_FILE_LOCK = threading.Lock()
+
+
+class AUTOTUNE:
+    """Autotune effort per kernel family: 'max' | 'fast' | 'default' | False."""
+    GEMV = "fast"
+    GEMV_REVSPLITK = "fast"
+    GEMV_SPLITK = "fast"
+    GEMM_SPLITK = "fast"
+    GEMM = "fast"
+
+
+class KERNEL:
+    ENABLE_CACHING = True
+    CACHE_SIZE = 512  # max in-memory entries
+
+
+def set_autotune(config, use_cuda_graph: bool = None):  # use_cuda_graph: API parity, no-op on TPU
+    """Set autotune mode per family. Accepts a dict {family: mode}, a string
+    mode for all families, or False to disable (heuristic defaults only)."""
+    families = ["GEMV", "GEMV_REVSPLITK", "GEMV_SPLITK", "GEMM_SPLITK", "GEMM"]
+    if isinstance(config, dict):
+        for k, v in config.items():
+            setattr(AUTOTUNE, k.upper(), v)
+    elif isinstance(config, str):
+        for f in families:
+            setattr(AUTOTUNE, f, config)
+    elif config is False or config is None:
+        for f in families:
+            setattr(AUTOTUNE, f, False)
+    else:
+        raise ValueError(f"Invalid autotune config: {config}")
+
+
+def set_kernel_caching(enable: bool):
+    KERNEL.ENABLE_CACHING = bool(enable)
+
+
+@dataclass(frozen=True)
+class KernelConfig:
+    """Pallas launch configuration — the TPU analogue of a Triton
+    (BLOCK_M, BLOCK_N, BLOCK_K, num_warps, num_stages) tuple."""
+    block_m: int
+    block_n: int
+    block_k: int
+
+    def to_dict(self):
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(**{k: d[k] for k in ("block_m", "block_n", "block_k")})
+
+
+# family name -> {str(signature): config dict}
+GEMLITE_TPU_CONFIG_CACHE = {}
+
+
+def config_signature(M_bucket, N, K, group_size, elements_per_sample, type_id):
+    """Same key structure as the reference JSON cache (core.py:74-83, 594)."""
+    return str((M_bucket, N, K, group_size, elements_per_sample, type_id))
+
+
+def lookup_config(family: str, sig: str):
+    if not KERNEL.ENABLE_CACHING:
+        return None
+    fam = GEMLITE_TPU_CONFIG_CACHE.get(family)
+    if fam is None:
+        return None
+    d = fam.get(sig)
+    return KernelConfig.from_dict(d) if d is not None else None
+
+
+def store_config(family: str, sig: str, cfg: KernelConfig):
+    GEMLITE_TPU_CONFIG_CACHE.setdefault(family, {})[sig] = cfg.to_dict()
+
+
+def cache_config(filename: str):
+    """Merge the in-memory cache into a JSON file (reference core.py:559-598)."""
+    try:
+        with _FILE_LOCK, open(filename, "r") as f:
+            config = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        config = {}
+    for name, entries in GEMLITE_TPU_CONFIG_CACHE.items():
+        config.setdefault(name, {}).update(entries)
+    with _FILE_LOCK, open(filename, "w") as f:
+        json.dump(config, f)
+
+
+def load_config(filename: str, print_error: bool = True, overwrite: bool = False) -> bool:
+    """Load a JSON config cache (reference core.py:600-622)."""
+    global GEMLITE_TPU_CONFIG_CACHE
+    if filename is None:
+        return False
+    try:
+        with _FILE_LOCK, open(filename, "r") as f:
+            config = json.load(f)
+        if overwrite:
+            GEMLITE_TPU_CONFIG_CACHE = config
+        else:
+            for name, entries in config.items():
+                GEMLITE_TPU_CONFIG_CACHE.setdefault(name, {}).update(entries)
+    except Exception as e:
+        if print_error:
+            logger.error(f"Failed to load the cache file '{filename}': {e}")
+        return False
+    return True
+
+
+def reset_config():
+    global GEMLITE_TPU_CONFIG_CACHE
+    GEMLITE_TPU_CONFIG_CACHE = {}
+
+
+def load_default_config():
+    """Auto-load the shipped per-TPU-generation config at import, matched by
+    device kind substring (analogue of reference core.py:634-654)."""
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind.lower().replace(" ", "_")
+    except Exception:
+        return None
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+    if not os.path.isdir(root):
+        return None
+    tags = sorted((f.split(".")[0] for f in os.listdir(root) if f.endswith(".json")),
+                  key=len, reverse=True)
+    for tag in tags:
+        if tag in kind:
+            path = os.path.join(root, tag + ".json")
+            if load_config(path, print_error=False):
+                logger.warning("Loaded %s config.", path)
+                return path
+    return None

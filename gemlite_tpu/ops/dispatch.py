@@ -3,13 +3,18 @@
 
 All five reference kernel-family names (core.py:56-66) are preserved for API
 parity. On TPU they resolve to regime-tuned configurations of the fused Pallas
-kernel (ops/pallas_gemm.py) with the jnp oracle as a universal fallback.
+kernel (ops/pallas_gemm.py) with the jnp oracle as a universal fallback for
+shapes/modes outside the kernel's constraints.
 """
 
 import jax.numpy as jnp
 
 from ..core import GEMLITE_KERNEL_REGISTRY, LayerMeta
+from ..config import KernelConfig, config_signature, lookup_config
+from ..dtypes import DType
+from ..utils import m_bucket
 from .reference import forward_ref
+from .pallas_gemm import pallas_fused_matmul, select_default_config, can_use_pallas
 
 
 def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
@@ -28,4 +33,52 @@ def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
     )
 
 
+def autotune_type_id(meta: LayerMeta) -> int:
+    """Autotune signature type id: input_dtype*100 + W_nbits, with BF16 aliased
+    to FP16 (reference core.py:141-145) so both share cached configs."""
+    d = meta.input_dtype
+    if d == DType.BF16.value:
+        d = DType.FP16.value
+    if d == DType.MXBF16.value:
+        d = DType.MXFP16.value
+    return d * 100 + meta.W_nbits
+
+
+# Per-family block_m preference: the regime the family name stands for.
+_FAMILY_BM = {
+    "GEMV": 16,
+    "GEMV_REVSPLITK": 16,
+    "GEMV_SPLITK": 16,
+    "GEMM_SPLITK": 64,
+    "GEMM": 256,
+}
+
+
+def _make_family_kernel(family: str):
+    bm_pref = _FAMILY_BM[family]
+
+    def impl(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
+        M = x.shape[0]
+        N, K = meta.out_features, meta.in_features
+        sig = config_signature(
+            m_bucket.get_closest_m(M), N, K, meta.group_size,
+            meta.elements_per_sample, autotune_type_id(meta),
+        )
+        cfg = lookup_config(family, sig)
+        if cfg is None:
+            base = select_default_config(meta, M, N, K)
+            # family regime caps block_m; never pad M more than ~16x
+            bm = 16
+            while bm < min(bm_pref, M):
+                bm *= 2
+            cfg = KernelConfig(block_m=bm, block_n=base.block_n, block_k=base.block_k)
+        if can_use_pallas(meta, M, N, K, cfg):
+            return pallas_fused_matmul(x, W_q, scales, zeros, scales_x, meta, cfg)
+        return _ref_kernel(x, W_q, scales, zeros, scales_x, meta)
+
+    return impl
+
+
 GEMLITE_KERNEL_REGISTRY["_ref"] = _ref_kernel
+for _family in _FAMILY_BM:
+    GEMLITE_KERNEL_REGISTRY[_family] = _make_family_kernel(_family)

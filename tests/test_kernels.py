@@ -1,0 +1,150 @@
+"""Pallas kernel vs jnp-oracle equivalence across mode combinations, bit
+widths, packing widths and batch regimes (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gemlite_tpu  # noqa: F401
+from gemlite_tpu.core import LayerMeta, GEMLITE_ACC_DTYPE
+from gemlite_tpu.dtypes import DType
+from gemlite_tpu.bitpack import pack_weights_over_cols
+from gemlite_tpu.ops.dispatch import _ref_kernel
+from gemlite_tpu.ops.pallas_gemm import (
+    pallas_fused_matmul, select_default_config, can_use_pallas,
+)
+from gemlite_tpu.config import KernelConfig
+
+RNG = np.random.default_rng(7)
+
+
+def _make(W_nbits, gs, K, N, W_group_mode, channel_scale_mode, zero_is_scalar,
+          input_dtype=DType.BF16, packing_bitwidth=32):
+    W_q = RNG.integers(0, 2**W_nbits, size=(N, K)).astype(np.uint8)
+    packed, elems = pack_weights_over_cols(W_q, W_nbits, packing_bitwidth)
+    G = K // gs
+    scales = jnp.asarray(RNG.normal(size=(G, N)).astype(np.float32) * 0.01)
+    if zero_is_scalar:
+        zeros = jnp.asarray(7, jnp.int32)
+    else:
+        zeros = jnp.asarray(RNG.integers(0, 2**W_nbits, size=(G, N)).astype(np.float32))
+    if W_group_mode == 4:
+        zeros = (-zeros * scales).astype(scales.dtype)
+    meta = LayerMeta(
+        scaled_activations=int(channel_scale_mode in (2, 3)),
+        W_nbits=W_nbits, group_size=gs, unpack_mask=2**W_nbits - 1,
+        elements_per_sample=elems,
+        input_dtype=input_dtype.value, output_dtype=DType.FP32.value,
+        acc_dtype=GEMLITE_ACC_DTYPE[input_dtype].value,
+        meta_dtype=DType.FP32.value,
+        channel_scale_mode=channel_scale_mode, W_group_mode=W_group_mode,
+        data_contiguous=1, in_features=K, out_features=N,
+        zero_is_scalar=int(zero_is_scalar), packing_bitwidth=packing_bitwidth,
+    )
+    return packed, scales, zeros, meta
+
+
+def _compare(meta, packed, scales, zeros, M, tol=5e-3):
+    K, N = meta.in_features, meta.out_features
+    x = jnp.asarray(RNG.normal(size=(M, K)).astype(np.float32) * 0.1, jnp.bfloat16)
+    sx = None
+    if meta.channel_scale_mode in (2, 3):
+        sx = jnp.abs(jnp.asarray(RNG.normal(size=(M, 1)).astype(np.float32))) + 0.5
+    s_in = scales if meta.W_group_mode in (2, 3, 4) or meta.channel_scale_mode in (1, 3) else None
+    z_in = zeros if meta.W_group_mode in (1, 3, 4) else None
+
+    y_ref = _ref_kernel(x, packed, s_in, z_in, sx, meta)
+    cfg = select_default_config(meta, M, N, K)
+    assert can_use_pallas(meta, M, N, K, cfg), f"config rejected: {cfg}"
+    y_pl = pallas_fused_matmul(x, packed, s_in, z_in, sx, meta, cfg)
+    err = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32) - y_pl.astype(jnp.float32))))
+    scale = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
+    assert err / scale < tol, f"rel err {err/scale} (cfg {cfg})"
+
+
+@pytest.mark.parametrize("W_group_mode,channel_scale_mode,zero_is_scalar", [
+    (1, 1, True),    # shift-only + weight channel scale
+    (2, 0, False),   # symmetric grouped
+    (3, 0, False),   # asymmetric grouped (tensor zeros)
+    (3, 0, True),    # symmetric grouped with scalar shift
+    (4, 0, False),   # fma mode (folded zeros)
+    (1, 2, True),    # shift + activation scaling
+    (1, 3, True),    # shift + both scalings
+])
+@pytest.mark.parametrize("M", [1, 16, 200])
+def test_modes(W_group_mode, channel_scale_mode, zero_is_scalar, M):
+    gs_mode = 128
+    K, N = 512, 256
+    gs = K if channel_scale_mode in (1, 3) else gs_mode
+    packed, scales, zeros, meta = _make(4, gs, K, N, W_group_mode,
+                                        channel_scale_mode, zero_is_scalar)
+    if channel_scale_mode in (1, 3):
+        scales = scales[:1]  # channel-wise: (1, N)
+        packed2, s, z, meta = _make(4, K, K, N, W_group_mode, channel_scale_mode,
+                                    zero_is_scalar)
+        _compare(meta, packed2, s, z, M)
+    else:
+        _compare(meta, packed, scales, zeros, M)
+
+
+@pytest.mark.parametrize("W_nbits", [1, 2, 4, 8])
+def test_bitwidths(W_nbits):
+    # W1 packs 32 elems/word -> needs block_k >= 8*gs (aligned metadata slices)
+    K = 2048 if W_nbits == 1 else 512
+    N = 256
+    packed, scales, zeros, meta = _make(W_nbits, 128, K, N, 3, 0, False)
+    _compare(meta, packed, scales, zeros, 8)
+
+
+@pytest.mark.parametrize("packing_bitwidth", [8, 16, 32])
+def test_packing_widths(packing_bitwidth):
+    K, N = 512, 256
+    packed, scales, zeros, meta = _make(4, 128, K, N, 4, 0, False,
+                                        packing_bitwidth=packing_bitwidth)
+    _compare(meta, packed, scales, zeros, 4)
+
+
+def test_nonpacked_8bit():
+    """elements_per_sample == 1: raw int8 weights, mode 0 + channel scales."""
+    K, N = 512, 256
+    W8 = RNG.integers(-100, 100, size=(N, K)).astype(np.int8)
+    scales = jnp.asarray(np.abs(RNG.normal(size=(1, N))).astype(np.float32) * 1e-3)
+    meta = LayerMeta(
+        scaled_activations=0, W_nbits=8, group_size=K, unpack_mask=255,
+        elements_per_sample=1, input_dtype=DType.BF16.value,
+        output_dtype=DType.FP32.value, acc_dtype=DType.FP32.value,
+        meta_dtype=DType.FP32.value, channel_scale_mode=1, W_group_mode=0,
+        data_contiguous=0, in_features=K, out_features=N,
+        zero_is_scalar=0, packing_bitwidth=32,
+    )
+    _compare(meta, jnp.asarray(W8.T), scales, None, 16)
+
+
+def test_int8_mxu_path():
+    """int8 activations + scalar-shift weights: int8xint8->int32 MXU path."""
+    K, N = 512, 256
+    packed, scales, zeros, meta = _make(4, K, K, N, 1, 2, True, input_dtype=DType.INT8)
+    M = 8
+    x = jnp.asarray(RNG.integers(-20, 20, size=(M, K)), jnp.int8)
+    sx = jnp.abs(jnp.asarray(RNG.normal(size=(M, 1)).astype(np.float32))) + 0.5
+    y_ref = _ref_kernel(x, packed, None, zeros, sx, meta)
+    cfg = select_default_config(meta, M, N, K)
+    y_pl = pallas_fused_matmul(x, packed, None, zeros, sx, meta, cfg)
+    err = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32) - y_pl.astype(jnp.float32))))
+    scale = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 1e-3, err / scale
+
+
+def test_deep_k_aligned_slices():
+    """bk = 8*gs exercises the 8-aligned multi-row metadata slice path."""
+    K, N, gs = 2048, 256, 32
+    packed, scales, zeros, meta = _make(4, gs, K, N, 4, 0, False, packing_bitwidth=8)
+    cfg = KernelConfig(block_m=16, block_n=128, block_k=8 * gs)
+    assert can_use_pallas(meta, 1, N, K, cfg)
+    M = 1
+    x = jnp.asarray(RNG.normal(size=(M, K)).astype(np.float32) * 0.1, jnp.bfloat16)
+    y_ref = _ref_kernel(x, packed, scales, zeros, None, meta)
+    y_pl = pallas_fused_matmul(x, packed, scales, zeros, None, meta, cfg)
+    err = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32) - y_pl.astype(jnp.float32))))
+    scale = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
+    assert err / scale < 5e-3, err / scale
