@@ -25,7 +25,15 @@ from .core import (
     GEMLITE_MATMUL_TYPES,
 )
 from .utils import set_autotune_setting
+from .config import (
+    set_autotune,
+    set_kernel_caching,
+    cache_config,
+    load_config,
+    reset_config,
+)
 from . import ops as _ops_registration  # wires the kernel registry
 from .ops import dispatch as _dispatch  # noqa: F401
+from . import helper
 
 __version__ = "0.1.0"
