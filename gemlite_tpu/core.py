@@ -148,14 +148,15 @@ def forward_functional(x, bias, tensor_args, meta: LayerMeta, matmul_type: int =
         csm = meta.channel_scale_mode
         if input_dtype in FP8_INT8_DTYPES:
             x, scales_x = scale_activations_per_token(x, to_jax_dtype(input_dtype))
-        elif input_dtype == DType.MXFP8 and csm == 4:
-            x, scales_x = scale_activations_mxfp8(x, jnp.float8_e4m3fn)
         elif input_dtype == DType.MXFP8 and csm == 2:
             x, scales_x = scale_activations_per_token(x, jnp.float8_e4m3fn)
-        elif input_dtype == DType.MXFP4 and csm == 4:
-            x, scales_x = scale_activations_mxfp4(x)
-        elif input_dtype == DType.NVFP4 and csm == 4:
-            x, scales_x = scale_activations_nvfp4(x)
+        elif input_dtype in (DType.MXFP8, DType.MXFP4, DType.NVFP4) and csm == 4:
+            # micro-scaled activations: fake-quantize outside the kernel (bf16
+            # holds fp8/fp4 x 2^k exactly); the kernel then sees plain compute-
+            # dtype activations with no epilogue scaling (see mx.py docstring)
+            from .mx import fake_quant_activations
+            x = fake_quant_activations(x, input_dtype, to_jax_dtype(meta.output_dtype))
+            meta = meta._replace(channel_scale_mode=0)
 
     x = x.reshape(-1, x.shape[-1])
 
@@ -366,11 +367,17 @@ class GemLiteLinear:
 
         self.data_contiguous = bool(contiguous)
 
-        # --- MX scale storage: e8m0 (as uint8) / fp8-e4m3, forced mode 2 ----
+        # --- MX scale storage: e8m0 (as uint8 bits) / fp8-e4m3, mode 2 ------
+        # The float8_e8m0fnu dtype is rejected by the TPU compiler, so e8m0
+        # scales are stored as their exponent bits in uint8 throughout.
         if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4):
-            self.scales = jax.lax.bitcast_convert_type(
-                self.scales.astype(jnp.float8_e8m0fnu), jnp.uint8
-            )
+            from .quant import _f32_pow2_to_e8m0_bits
+            if self.scales.dtype == jnp.uint8:
+                pass  # already e8m0 bits
+            elif self.scales.dtype == jnp.float8_e8m0fnu:
+                self.scales = jax.lax.bitcast_convert_type(self.scales, jnp.uint8)
+            else:
+                self.scales = _f32_pow2_to_e8m0_bits(self.scales)
         if self.input_dtype == DType.NVFP4:
             self.scales = self.scales.astype(jnp.float8_e4m3fn)
         if is_mx_dtype(self.input_dtype):

@@ -18,6 +18,10 @@ from .pallas_gemm import pallas_fused_matmul, select_default_config, can_use_pal
 
 
 def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
+    from ..dtypes import is_mx_dtype
+    if is_mx_dtype(meta.input_dtype):
+        from ..mx import mx_forward_ref
+        return mx_forward_ref(x, W_q, scales, zeros, scales_x, meta)
     return forward_ref(
         x, W_q, scales, zeros, scales_x,
         W_nbits=meta.W_nbits,

@@ -51,7 +51,25 @@ def _cdiv(a, b):
 # Kernel body factory
 # ---------------------------------------------------------------------------
 
-def _load_group_meta(ref, k, bk: int, gs_eff: int, bn: int):
+def _fp4_decode(c, md):
+    """fp4-e2m1 codes (int) -> values, arithmetically (no gather/LUT):
+    bits [s e1 e0 m]; e==0 -> 0.5*m (subnormal), else 2^(e-1) * (1 + m/2)."""
+    e = (c >> 1) & 3
+    m = (c & 1).astype(jnp.float32)
+    sgn = (c >> 3) & 1
+    mag = jnp.where(
+        e == 0, 0.5 * m,
+        jnp.left_shift(1, jnp.maximum(e - 1, 0)).astype(jnp.float32) * (1.0 + 0.5 * m),
+    )
+    return jnp.where(sgn == 1, -mag, mag).astype(md)
+
+
+def _e8m0_decode(u8):
+    """e8m0 bits (uint8) -> 2^(v-127) via exponent-field bitcast."""
+    return jax.lax.bitcast_convert_type(u8.astype(jnp.uint32) << 23, jnp.float32)
+
+
+def _load_group_meta(ref, k, bk: int, gs_eff: int, bn: int, decode=None):
     """Slice this k-step's group metadata rows from the resident (G, bn) strip
     and expand to per-row (broadcastable against the (bk, bn) weight block).
 
@@ -64,20 +82,31 @@ def _load_group_meta(ref, k, bk: int, gs_eff: int, bn: int):
         m = ref[...]
     elif size == 1:
         # one group row covers this whole k block (bk <= group size)
-        return ref[pl.ds((k * bk) // gs_eff, 1), :]
+        m = ref[pl.ds((k * bk) // gs_eff, 1), :]
+        return decode(m) if decode is not None else m
     else:
         # size >= 8 enforced by config selection: Mosaic requires provably
         # 8-aligned multi-row sublane slices
         start = pl.multiple_of(k * size, 8)
         m = ref[pl.ds(start, size), :]
+    if decode is not None:
+        m = decode(m)
     return jnp.broadcast_to(m[:, None, :], (size, gs_eff, bn)).reshape(bk, bn)
 
 
 def _make_kernel(*, W_nbits, elems, W_group_mode, channel_scale_mode,
                  zero_is_scalar, has_scales, has_zeros, has_scales_x,
                  int_path, compute_jdtype, acc_jdtype, out_jdtype,
-                 meta_f32, bk, bn, n_k, gs_eff_s=1, gs_eff_z=1):
+                 meta_f32, bk, bn, n_k, gs_eff_s=1, gs_eff_z=1,
+                 w_codec=None, scale_codec=None):
     mask = (1 << W_nbits) - 1
+
+    if scale_codec == "e8m0":
+        s_decode = _e8m0_decode
+    elif scale_codec == "nvfp4":
+        s_decode = lambda s: s.astype(jnp.float32) * 0.05  # NVFP4 meta-scale
+    else:
+        s_decode = None
 
     def kernel(*refs):
         i = 0
@@ -109,6 +138,8 @@ def _make_kernel(*, W_nbits, elems, W_group_mode, channel_scale_mode,
             b = ((w32[:, None, :] >> shifts) & mask).reshape(bk, bn)
         else:
             b = w
+        if w_codec == "fp4":
+            b = _fp4_decode(b, jnp.float32 if meta_f32 else compute_jdtype)
 
         # ---- dequantize (W_group_mode) ---------------------------------
         if W_group_mode > 0:
@@ -124,7 +155,7 @@ def _make_kernel(*, W_nbits, elems, W_group_mode, channel_scale_mode,
                     z = _load_group_meta(z_ref, k, bk, gs_eff_z, bn)
                     b = b.astype(md) - z.astype(md)
             elif W_group_mode == 2:
-                s = _load_group_meta(s_ref, k, bk, gs_eff_s, bn)
+                s = _load_group_meta(s_ref, k, bk, gs_eff_s, bn, decode=s_decode)
                 b = b.astype(md) * s.astype(md)
             elif W_group_mode == 3:
                 s = _load_group_meta(s_ref, k, bk, gs_eff_s, bn)
@@ -289,6 +320,19 @@ def pallas_fused_matmul(x, W_q, scales, zeros, scales_x, meta,
     gs_eff_z = (K // zeros.shape[0]
                 if (has_zeros and not meta.zero_is_scalar) else 1)
 
+    # MX codecs: fp4 weight codes; e8m0 / nvfp4 scale encodings
+    from ..dtypes import is_mx_dtype
+    w_codec = None
+    scale_codec = None
+    if is_mx_dtype(input_dtype):
+        if meta.W_nbits == 4:
+            w_codec = "fp4"
+        if has_scales:
+            if input_dtype == DType.NVFP4:
+                scale_codec = "nvfp4"
+            elif scales.dtype == jnp.uint8:
+                scale_codec = "e8m0"
+
     kernel = _make_kernel(
         W_nbits=meta.W_nbits,
         elems=meta.elements_per_sample,
@@ -311,6 +355,8 @@ def pallas_fused_matmul(x, W_q, scales, zeros, scales_x, meta,
         n_k=n_k,
         gs_eff_s=gs_eff_s,
         gs_eff_z=gs_eff_z,
+        w_codec=w_codec,
+        scale_codec=scale_codec,
     )
 
     # ---- block specs -----------------------------------------------------

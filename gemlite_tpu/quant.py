@@ -81,6 +81,26 @@ def _pow2_ceil(v):
     return scales, exp
 
 
+def _f32_pow2_to_e8m0_bits(scales):
+    """Exact power-of-two fp32 scales -> e8m0 exponent bits (uint8).
+
+    (Non-power-of-two inputs are rounded to the nearest power of two, which is
+    what casting to float8_e8m0fnu would do — that dtype is unsupported by the
+    TPU compiler, so e8m0 lives as raw uint8 bits throughout this package.)"""
+    xi = jax.lax.bitcast_convert_type(scales.astype(jnp.float32), jnp.uint32)
+    exp = ((xi >> 23) & 0xFF).astype(jnp.int32)
+    mant = (xi & 0x7FFFFF).astype(jnp.int32)
+    exp = exp + jnp.where(mant >= 0x400000, 1, 0)  # round half up
+    return jnp.clip(exp, 0, 254).astype(jnp.uint8)
+
+
+def e8m0_bits_to_f32(u8):
+    """e8m0 exponent bits (uint8) -> 2^(v - 127) as float32."""
+    return jax.lax.bitcast_convert_type(
+        (jnp.asarray(u8).astype(jnp.uint32) << 23), jnp.float32
+    )
+
+
 def _group_view(x, group_size: int):
     """(..., K) -> (rows padded to group multiple) x group_size view + metadata."""
     orig_shape = x.shape
@@ -207,12 +227,11 @@ class WeightQuantizerMXFP:
         min_val, max_val = get_dtype_range(mx_fp8_dtype)
         Wf = jnp.asarray(W).reshape(-1, group_size).astype(jnp.float32)
         amax = jnp.max(jnp.abs(Wf), axis=1, keepdims=True)
-        # ceil-to-power-of-2 via exact log2 (pack-time, no perf constraint)
-        ideal = amax / max_val
-        scales = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(ideal, 1e-38))))
-        scales = jnp.maximum(scales, 2.0 ** _E8M0_EPS_EXP)
+        # ceil-to-power-of-2; scales returned as e8m0 BITS (uint8) — the
+        # float8_e8m0fnu dtype itself is rejected by the TPU compiler
+        scales, exp = _pow2_ceil(amax / max_val)
         W_q = jnp.clip(Wf / scales, min_val, max_val).astype(mx_fp8_dtype)
-        scales_e8m0 = scales.astype(jnp.float8_e8m0fnu)
+        scales_e8m0 = exp.astype(jnp.uint8)
         if not index:
             W_q = W_q.astype(Wf.dtype)
         return W_q, scales_e8m0
@@ -237,7 +256,7 @@ class WeightQuantizerMXFP:
             scales = jnp.take_along_axis(cand, best, axis=1)
         scales = jnp.maximum(scales, eps)
         W_q, _ = round_to_fp4(Wf / scales)
-        scales_e8m0 = scales.astype(jnp.float8_e8m0fnu)
+        scales_e8m0 = _f32_pow2_to_e8m0_bits(scales)
         if index:
             W_q = fp4_index(W_q)
         return W_q, scales_e8m0
@@ -271,6 +290,8 @@ class WeightQuantizerMXFP:
     def dequantize(self, W_q, scales, shape=None, dtype=None):
         if W_q.dtype == jnp.uint8:
             W_q = fp4_dequant(W_q)
+        if scales.dtype == jnp.uint8:  # e8m0 bits
+            scales = e8m0_bits_to_f32(scales)
         group_size = W_q.size // scales.size
         out = W_q.reshape(-1, group_size).astype(jnp.float32) * scales.reshape(-1, 1).astype(jnp.float32)
         if shape is not None:
