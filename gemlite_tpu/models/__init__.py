@@ -1,0 +1,12 @@
+# SPDX-License-Identifier: Apache-2.0
+from .llama import (
+    LlamaConfig,
+    init_llama,
+    quantize_llama,
+    shard_llama,
+    llama_forward,
+    llama_prefill,
+    llama_decode_step,
+    init_kv_cache,
+    train_step,
+)

@@ -1,0 +1,328 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Llama-3-style transformer built on quantized GemLite linears.
+
+The reference delegates model integration to vLLM/SGLang/gpt-fast
+(reference README.md:171-196); here the model family is first-class and
+TPU-native: a pure-pytree functional model (params dict + static config),
+jit/pjit-friendly, with
+
+  * packed low-bit linears (any processor) for attention + MLP,
+  * GQA attention with a preallocated KV cache (static shapes; decode uses
+    dynamic_update_slice),
+  * tensor-parallel sharding of the packed weights over a Mesh (column-
+    parallel q/k/v + gate/up, row-parallel o + down — one psum per block),
+  * a QLoRA-style train step: frozen packed weights, gradients to norms,
+    embeddings and lm_head via the straight-through custom VJP.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import GemLiteLinear
+from ..autograd import apply_linear
+from ..helper import _warmup_quantize
+
+__all__ = [
+    "LlamaConfig", "init_llama", "quantize_llama", "shard_llama",
+    "llama_forward", "llama_prefill", "llama_decode_step", "init_kv_cache",
+    "train_step",
+]
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    max_seq_len: int = 2048
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def llama3_8b(**kw):
+        return LlamaConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw):
+        base = dict(vocab_size=512, hidden_size=256, intermediate_size=512,
+                    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+                    max_seq_len=128)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+def init_llama(cfg: LlamaConfig, seed: int = 0) -> Dict:
+    """Random float params as a plain dict pytree (dense jnp weights)."""
+    rng = np.random.default_rng(seed)
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    QD = cfg.num_heads * cfg.head_dim
+    KD = cfg.num_kv_heads * cfg.head_dim
+
+    def mat(n, k, std=0.02):
+        return jnp.asarray(rng.normal(size=(n, k)) * std, cfg.dtype)
+
+    blocks = []
+    for _ in range(cfg.num_layers):
+        blocks.append({
+            "attn": {"wq": mat(QD, H), "wk": mat(KD, H), "wv": mat(KD, H),
+                     "wo": mat(H, QD)},
+            "mlp": {"gate": mat(I, H), "up": mat(I, H), "down": mat(H, I)},
+            "ln_attn": jnp.ones((H,), cfg.dtype),
+            "ln_mlp": jnp.ones((H,), cfg.dtype),
+        })
+    return {
+        "embed": mat(cfg.vocab_size, H, std=0.01),
+        "blocks": blocks,
+        "ln_f": jnp.ones((H,), cfg.dtype),
+        "lm_head": mat(cfg.vocab_size, H, std=0.01),
+    }
+
+
+_LINEAR_KEYS = (("attn", "wq"), ("attn", "wk"), ("attn", "wv"), ("attn", "wo"),
+                ("mlp", "gate"), ("mlp", "up"), ("mlp", "down"))
+
+
+def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
+                   group_size: int = 128, quantize_lm_head: bool = False) -> Dict:
+    """Replace every block linear (and optionally lm_head) with a packed
+    GemLiteLinear via `processor.from_weights` (defaults to HQQ-style
+    asymmetric grouped quantization at the given bit width)."""
+    from ..helper import A16W4_HQQ_INT, A16Wn_HQQ_INT
+
+    if processor is None:
+        processor = A16Wn_HQQ_INT(W_nbits=W_nbits)
+
+    def q(w):
+        w = np.asarray(w, dtype=np.float32)
+        if hasattr(processor, "W_nbits") and processor.W_nbits is not None:
+            return _warmup_quantize(processor, w, group_size)
+        return processor.from_weights(w, None)
+
+    out = dict(params)
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        nb = {"attn": dict(blk["attn"]), "mlp": dict(blk["mlp"]),
+              "ln_attn": blk["ln_attn"], "ln_mlp": blk["ln_mlp"]}
+        for grp, name in _LINEAR_KEYS:
+            nb[grp][name] = q(blk[grp][name])
+        out["blocks"].append(nb)
+    if quantize_lm_head:
+        out["lm_head"] = q(params["lm_head"])
+    return out
+
+
+def shard_llama(params: Dict, mesh: Mesh, axis: str = "tp") -> Dict:
+    """Apply tensor-parallel NamedShardings to a (quantized or dense) model:
+    q/k/v/gate/up column-sharded (N over tp), o/down row-sharded (K over tp),
+    embeddings/lm_head sharded over vocab."""
+    col, row = P(None, axis), P(axis, None)
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, spec)) if a is not None else None
+
+    def put_layer(layer, mode):
+        if isinstance(layer, GemLiteLinear):
+            wspec = col if mode == "column" else row
+            mspec_col = P(None, axis)
+            if mode == "column":
+                mspec = mspec_col
+            else:  # grouped meta splits over K; channel-wise meta replicates
+                mspec = (row if (layer.scales is not None and layer.scales.ndim == 2
+                                 and layer.scales.shape[0] > 1) else P())
+            W_q, scales, zeros, bias = layer.W_q, layer.scales, layer.zeros, layer.bias
+            zspec = (P() if (zeros is None or zeros.ndim == 0)
+                     else mspec)
+            return GemLiteLinear.tree_unflatten(
+                layer.meta,
+                (put(W_q, wspec),
+                 put(scales, mspec if mode == "row" else mspec_col),
+                 put(zeros, zspec),
+                 put(bias, P(axis) if mode == "column" else P())),
+            )
+        # dense (N, K) matrix
+        return put(layer, col if mode == "column" else P(None, axis))
+
+    out = dict(params)
+    out["embed"] = put(params["embed"], P(axis, None))
+    out["lm_head"] = put_layer(params["lm_head"], "column") \
+        if isinstance(params["lm_head"], GemLiteLinear) else put(params["lm_head"], P(axis, None))
+    out["ln_f"] = put(params["ln_f"], P())
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        nb = {
+            "attn": {
+                "wq": put_layer(blk["attn"]["wq"], "column"),
+                "wk": put_layer(blk["attn"]["wk"], "column"),
+                "wv": put_layer(blk["attn"]["wv"], "column"),
+                "wo": put_layer(blk["attn"]["wo"], "row"),
+            },
+            "mlp": {
+                "gate": put_layer(blk["mlp"]["gate"], "column"),
+                "up": put_layer(blk["mlp"]["up"], "column"),
+                "down": put_layer(blk["mlp"]["down"], "row"),
+            },
+            "ln_attn": put(blk["ln_attn"], P()),
+            "ln_mlp": put(blk["ln_mlp"], P()),
+        }
+        out["blocks"].append(nb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _apply(layer, x):
+    """Dense matrix or quantized layer, differentiable either way."""
+    if isinstance(layer, GemLiteLinear):
+        return apply_linear(layer, x)
+    return x @ layer.T.astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """x: (B, S, H, D); positions: (B, S)."""
+    D = x.shape[-1]
+    half = D // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, half)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                           axis=-1).astype(x.dtype)
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int):
+    shape = (cfg.num_layers, 2, batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, cfg.dtype)
+
+
+def _attention(q, k, v, mask):
+    """q: (B, S, Hq, D); k/v: (B, T, Hkv, D); GQA by head-group repeat."""
+    B, S, Hq, D = q.shape
+    Hkv = k.shape[2]
+    rep = Hq // Hkv
+    q = q.reshape(B, S, Hkv, rep, D)
+    scores = jnp.einsum("bshrd,bthd->bhrst", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / np.sqrt(D)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhrst,bthd->bshrd", probs, v.astype(jnp.float32))
+    return out.reshape(B, S, Hq, D).astype(v.dtype)
+
+
+def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
+    """x: (B, S, H). kv: full cache (L, 2, B, T, Hkv, D) or None (no cache).
+    cache_len: length of valid cache BEFORE this call (decode offset)."""
+    B, S, H = x.shape
+    h = _rms_norm(x, blk["ln_attn"], cfg.norm_eps)
+    q = _apply(blk["attn"]["wq"], h).reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = _apply(blk["attn"]["wk"], h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = _apply(blk["attn"]["wv"], h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    if kv is not None:
+        kv = jax.lax.dynamic_update_slice(
+            kv, k[None, None].astype(kv.dtype), (layer_idx, 0, 0, cache_len, 0, 0))
+        kv = jax.lax.dynamic_update_slice(
+            kv, v[None, None].astype(kv.dtype), (layer_idx, 1, 0, cache_len, 0, 0))
+        k_all, v_all = kv[layer_idx, 0], kv[layer_idx, 1]
+        T = k_all.shape[1]
+        t_idx = jnp.arange(T)[None, None, :]
+        s_idx = cache_len + jnp.arange(S)[None, :, None]
+        mask = jnp.broadcast_to(t_idx <= s_idx, (B, S, T))
+    else:
+        k_all, v_all = k, v
+        t_idx = jnp.arange(S)[None, None, :]
+        s_idx = jnp.arange(S)[None, :, None]
+        mask = jnp.broadcast_to(t_idx <= s_idx, (B, S, S))
+
+    attn = _attention(q, k_all, v_all, mask).reshape(B, S, -1)
+    x = x + _apply(blk["attn"]["wo"], attn)
+
+    h = _rms_norm(x, blk["ln_mlp"], cfg.norm_eps)
+    g = _apply(blk["mlp"]["gate"], h)
+    u = _apply(blk["mlp"]["up"], h)
+    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
+    x = x + _apply(blk["mlp"]["down"], h)
+    return x, kv
+
+
+def llama_forward(params, cfg: LlamaConfig, tokens, kv=None, cache_len=0,
+                  positions=None):
+    """tokens (B, S) -> logits (B, S, V). With kv, updates the cache at
+    cache_len and attends over it (prefill: cache_len=0; decode: S==1)."""
+    B, S = tokens.shape
+    if positions is None:
+        positions = cache_len + jnp.arange(S)[None, :].astype(jnp.int32)
+        positions = jnp.broadcast_to(positions, (B, S))
+    x = params["embed"][tokens]
+    for i, blk in enumerate(params["blocks"]):
+        x, kv = _block_forward(blk, cfg, x, positions, kv, i, cache_len)
+    x = _rms_norm(x, params["ln_f"], cfg.norm_eps)
+    logits = _apply(params["lm_head"], x)
+    return (logits, kv) if kv is not None else logits
+
+
+def llama_prefill(params, cfg, tokens, kv):
+    return llama_forward(params, cfg, tokens, kv=kv, cache_len=0)
+
+
+def llama_decode_step(params, cfg, token, kv, cache_len):
+    """token (B, 1); cache_len traced int32 -> (logits (B, 1, V), kv)."""
+    return llama_forward(params, cfg, token, kv=kv, cache_len=cache_len)
+
+
+# ---------------------------------------------------------------------------
+# Training (QLoRA-style: frozen packed weights, train norms/embed/lm_head)
+# ---------------------------------------------------------------------------
+
+def _trainable_filter(path_leaf):
+    return not isinstance(path_leaf, GemLiteLinear)
+
+
+def loss_fn(params, cfg, tokens, targets):
+    logits = llama_forward(params, cfg, tokens)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return nll.mean()
+
+
+def train_step(params, cfg: LlamaConfig, tokens, targets, lr: float = 1e-4):
+    """One SGD step on the float leaves (packed integer buffers get zero
+    gradients via the straight-through VJP and stay fixed)."""
+    # allow_int: packed integer buffers participate as frozen leaves and get
+    # float0 cotangents from the straight-through VJP
+    loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(params, cfg, tokens, targets)
+
+    def upd(p, g):
+        if g is None or not hasattr(p, "dtype"):
+            return p
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) and g.dtype != jax.dtypes.float0:
+            return (p.astype(jnp.float32) - lr * g.astype(jnp.float32)).astype(p.dtype)
+        return p
+
+    new_params = jax.tree_util.tree_map(upd, params, grads)
+    return loss, new_params
