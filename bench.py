@@ -87,7 +87,7 @@ def main():
 
     fn = lambda xx: forward_functional(xx, layer.bias, layer.get_tensor_args(),
                                        layer.meta)
-    dt = timed_slope(fn, x, 100, 300)
+    dt = timed_slope(fn, x, 300, 1200)
 
     # bytes the kernel must stream per call: packed weights + group metadata
     wbytes = K * N // 2 + (K // gs) * N * 4 * 2 + M * K * 2 + M * N * 2

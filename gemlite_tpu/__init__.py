@@ -35,5 +35,6 @@ from .config import (
 from . import ops as _ops_registration  # wires the kernel registry
 from .ops import dispatch as _dispatch  # noqa: F401
 from . import helper
+from .autotune import autotune_layer, autotune_shapes
 
 __version__ = "0.1.0"

@@ -1,0 +1,176 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Explicit kernel autotuner.
+
+TPU replacement for the reference's @triton.autotune machinery
+(gemm_kernels.py:131-240 config generators + kernel_config_pruner +
+the cross-process JSON cache, core.py:74-83): enumerate candidate Pallas
+block configurations per kernel family, prune by VMEM budget and shape
+constraints, benchmark on-device with chained-loop slope timing (host/RPC
+overhead cancels between two loop lengths), and store the winner in the
+persisted config cache keyed by the same signature the reference uses:
+``str((M_bucket, N, K, group_size, elements_per_sample, type_id))``.
+
+Effort levels mirror the reference AUTOTUNE modes: 'max' sweeps the full
+candidate set, 'fast' a pruned subset, 'default'/False uses heuristics only.
+"""
+
+import itertools
+import logging
+import time
+
+import numpy as np
+
+from .config import (
+    AUTOTUNE,
+    KernelConfig,
+    config_signature,
+    lookup_config,
+    store_config,
+)
+from .dtypes import DType, to_jax_dtype, is_mx_dtype
+from .utils import m_bucket
+
+logger = logging.getLogger(__name__)
+
+# conservative VMEM budget per core (bytes); block working set x2 for
+# double-buffering must fit. v4/v5/v6 have 64-128 MiB; leave headroom.
+VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _candidate_grid(effort: str, M, N, K, group_size):
+    """(block_m, block_n, block_k) candidates by effort level."""
+    bms = [8, 16, 32, 64] if M > 1 else [8]
+    bms = [b for b in bms if b <= max(8, 2 * M)]
+    if effort == "max":
+        bns = [256, 512, 1024, 2048, 4096]
+        bks = [128, 256, 512, 1024, 2048, 4096]
+    else:  # fast
+        bns = [512, 1024, 2048, 4096]
+        bks = [512, 1024, 2048]
+    bns = [b for b in bns if N % b == 0]
+    bks = [b for b in bks if K % b == 0]
+    return [KernelConfig(bm, bn, bk)
+            for bm, bn, bk in itertools.product(bms, bns, bks)]
+
+
+def _vmem_ok(meta, cfg: KernelConfig) -> bool:
+    """Block working-set estimate vs budget (the shared-memory prune analog,
+    reference gemm_kernels.py:91-100)."""
+    import jax.numpy as jnp
+
+    bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
+    elems = meta.elements_per_sample
+    w_bytes = (bk // max(1, elems)) * bn * 4
+    x_bytes = bm * bk * 2
+    planes_bytes = bk * bn * 2          # unpacked bf16 block (worst case)
+    acc_bytes = bm * bn * 4
+    K = meta.in_features
+    gs = meta.group_size if 1 < meta.group_size < K else K
+    meta_bytes = 2 * (K // gs) * bn * 4
+    total = 2 * (w_bytes + x_bytes) + planes_bytes + acc_bytes + meta_bytes
+    return total <= VMEM_BUDGET
+
+
+def _bench_call(fn, x, n1=100, n2=400, repeats=3):
+    """Per-call seconds via chained fori_loop slope (overhead cancels)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(x, n):
+        def body(i, c):
+            xx = x + (c * jnp.asarray(1e-30, jnp.float32)).astype(x.dtype)
+            y = fn(xx)
+            return y.astype(jnp.float32).ravel()[0] * 1e-12
+        return lax.fori_loop(0, n, body, jnp.float32(0))
+
+    float(loop(x, n2))  # compile + warm
+    best = {}
+    for n in (n1, n2) * repeats:
+        t0 = time.perf_counter()
+        float(loop(x, n))
+        best[n] = min(best.get(n, 1e9), time.perf_counter() - t0)
+    return (best[n2] - best[n1]) / (n2 - n1)
+
+
+def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
+                   verbose=False):
+    """Benchmark candidate configs for one packed layer across batch regimes
+    and store winners in the config cache. Returns {sig: best_config}."""
+    import jax.numpy as jnp
+
+    from .core import get_matmul_type
+    from .ops.dispatch import autotune_type_id
+    from .ops.pallas_decode import can_use_decode_kernel, pallas_decode_matmul
+    from .ops.pallas_gemm import can_use_pallas, pallas_fused_matmul
+
+    meta = layer.meta
+    N, K = meta.out_features, meta.in_features
+    mx = is_mx_dtype(DType(meta.input_dtype))
+    x_dtype = to_jax_dtype(DType(meta.output_dtype))
+    rng = np.random.default_rng(0)
+    results = {}
+
+    for M in batch_sizes:
+        family = get_matmul_type(M, meta.W_nbits, mx)
+        eff = effort if effort is not None else getattr(AUTOTUNE, family, "fast")
+        if not eff or eff == "default":
+            continue
+        sig = config_signature(m_bucket.get_closest_m(M), N, K,
+                               meta.group_size, meta.elements_per_sample,
+                               autotune_type_id(meta))
+        x = jnp.asarray(rng.normal(size=(M, K)) * 0.1, x_dtype)
+
+        best_cfg, best_t = None, float("inf")
+        for cfg in _candidate_grid(eff, M, N, K, meta.group_size):
+            if not _vmem_ok(meta, cfg):
+                continue
+            if M <= 64 and can_use_decode_kernel(meta, M, N, K, cfg):
+                run = lambda xx, c=cfg: pallas_decode_matmul(
+                    xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
+            elif can_use_pallas(meta, M, N, K, cfg) and cfg.block_m >= 8:
+                run = lambda xx, c=cfg: pallas_fused_matmul(
+                    xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
+            else:
+                continue
+            try:
+                run(x)  # compile check
+                dt = _bench_call(run, x)
+            except Exception as e:  # config rejected by Mosaic
+                if verbose:
+                    logger.info("cfg %s rejected: %s", cfg, str(e)[:80])
+                continue
+            if 0 < dt < best_t:
+                best_cfg, best_t = cfg, dt
+            if verbose:
+                logger.warning("M=%d %s %s: %.1f us", M, family, cfg, dt * 1e6)
+
+        if best_cfg is not None:
+            store_config(family, sig, best_cfg)
+            results[sig] = (family, best_cfg, best_t)
+            if verbose:
+                logger.warning("M=%d %s best: %s (%.1f us)",
+                               M, family, best_cfg, best_t * 1e6)
+    return results
+
+
+def autotune_shapes(shapes, processor=None, W_nbits=4, group_size=128,
+                    batch_sizes=(1, 8, 32, 128, 512), effort=None,
+                    verbose=False):
+    """Autotune a list of (out_features, in_features) shapes with synthetic
+    weights; the warmup-time entry point (reference helper.py:1068-1119
+    warmup + cache_config)."""
+    from .core import GemLiteLinear
+
+    rng = np.random.default_rng(0)
+    all_results = {}
+    for (N, K) in shapes:
+        W_q = rng.integers(0, 2**W_nbits, size=(N, K)).astype(np.uint8)
+        G = N * K // group_size
+        scales = (rng.uniform(0.5, 1.5, size=(G, 1)) * 2.0**-8).astype(np.float32)
+        zeros = rng.integers(0, 2**W_nbits, size=(G, 1)).astype(np.float32)
+        layer = GemLiteLinear(W_nbits, group_size, K, N,
+                              DType.BF16, DType.BF16).pack(W_q, scales, zeros)
+        all_results.update(autotune_layer(layer, batch_sizes, effort, verbose))
+    return all_results

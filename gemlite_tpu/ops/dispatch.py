@@ -15,6 +15,11 @@ from ..dtypes import DType
 from ..utils import m_bucket
 from .reference import forward_ref
 from .pallas_gemm import pallas_fused_matmul, select_default_config, can_use_pallas
+from .pallas_decode import (
+    pallas_decode_matmul,
+    select_decode_config,
+    can_use_decode_kernel,
+)
 
 
 def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
@@ -69,6 +74,14 @@ def _make_family_kernel(family: str):
             meta.elements_per_sample, autotune_type_id(meta),
         )
         cfg = lookup_config(family, sig)
+
+        # decode regime: plane raw-dot kernel (fastest measured path)
+        if M <= 64:
+            dcfg = cfg if cfg is not None else select_decode_config(meta, M, N, K)
+            if can_use_decode_kernel(meta, M, N, K, dcfg):
+                return pallas_decode_matmul(x, W_q, scales, zeros, scales_x,
+                                            meta, dcfg)
+
         if cfg is None:
             base = select_default_config(meta, M, N, K)
             # family regime caps block_m; never pad M more than ~16x

@@ -1,0 +1,79 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Autotuner: candidate pruning, cache store/lookup, dispatch pickup.
+
+The benchmark-sweep path needs real hardware timing to be meaningful; on CPU
+(interpret mode) we only validate that the search runs end-to-end, stores a
+config under the reference-compatible signature, and that dispatch then uses
+it (reference core.py:74-83, 559-627).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gemlite_tpu import GemLiteLinear, DType
+from gemlite_tpu import config as cfg_mod
+from gemlite_tpu.autotune import _candidate_grid, _vmem_ok, autotune_layer
+from gemlite_tpu.config import KernelConfig, config_signature, lookup_config
+from gemlite_tpu.ops.dispatch import autotune_type_id
+from gemlite_tpu.utils import m_bucket
+
+
+def _make_layer(N=256, K=512, W_nbits=4, gs=64):
+    rng = np.random.default_rng(0)
+    W_q = rng.integers(0, 2**W_nbits, size=(N, K)).astype(np.uint8)
+    G = N * K // gs
+    scales = (rng.uniform(0.5, 1.5, size=(G, 1)) * 2**-8).astype(np.float32)
+    zeros = rng.integers(0, 2**W_nbits, size=(G, 1)).astype(np.float32)
+    return GemLiteLinear(W_nbits, gs, K, N, DType.BF16, DType.BF16).pack(
+        W_q, scales, zeros)
+
+
+def test_candidate_grid_respects_divisibility():
+    for cfg in _candidate_grid("max", 1, 384, 768, 64):
+        assert 384 % cfg.block_n == 0 and 768 % cfg.block_k == 0
+        assert cfg.block_m == 8  # M=1 decode
+
+
+def test_vmem_pruning():
+    layer = _make_layer()
+    meta = layer.meta
+    assert _vmem_ok(meta, KernelConfig(8, 256, 512))
+    huge = KernelConfig(64, 65536, 65536)
+    meta_huge = meta._replace(in_features=65536, out_features=65536)
+    assert not _vmem_ok(meta_huge, huge)
+
+
+def test_autotune_stores_and_dispatch_uses(monkeypatch):
+    cfg_mod.reset_config()
+    layer = _make_layer()
+    # shrink the sweep so interpret-mode timing stays fast
+    monkeypatch.setattr("gemlite_tpu.autotune._candidate_grid",
+                        lambda eff, M, N, K, gs: [KernelConfig(8, 256, 512)])
+    monkeypatch.setattr("gemlite_tpu.autotune._bench_call",
+                        lambda fn, x, **kw: 1e-6)
+    results = autotune_layer(layer, batch_sizes=(1,), effort="fast")
+    assert results, "no config stored"
+    sig = config_signature(m_bucket.get_closest_m(1), 256, 512, 64,
+                           8, autotune_type_id(layer.meta))
+    stored = lookup_config("GEMV_REVSPLITK", sig)
+    assert stored == KernelConfig(8, 256, 512)
+
+    # forward still numerically correct with the cached config in play
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 512)) * 0.2, jnp.bfloat16)
+    y = layer(x)
+    assert y.shape == (1, 256)
+    cfg_mod.reset_config()
+
+
+def test_cache_config_roundtrip(tmp_path):
+    cfg_mod.reset_config()
+    cfg_mod.store_config("GEMM", "sig1", KernelConfig(64, 512, 1024))
+    path = str(tmp_path / "cfg.json")
+    cfg_mod.cache_config(path)
+    cfg_mod.reset_config()
+    assert lookup_config("GEMM", "sig1") is None
+    assert cfg_mod.load_config(path)
+    assert lookup_config("GEMM", "sig1") == KernelConfig(64, 512, 1024)
+    cfg_mod.reset_config()
