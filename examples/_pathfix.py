@@ -1,0 +1,5 @@
+# Allow running examples from a source checkout without installing.
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -30,8 +30,8 @@ from ..helper import _warmup_quantize
 
 __all__ = [
     "LlamaConfig", "init_llama", "quantize_llama", "shard_llama",
-    "llama_forward", "llama_prefill", "llama_decode_step", "init_kv_cache",
-    "train_step",
+    "llama_forward", "llama_prefill", "llama_decode_step",
+    "llama_decode_step_batched", "init_kv_cache", "train_step",
 ]
 
 
@@ -244,14 +244,24 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
     k = _rope(k, positions, cfg.rope_theta)
 
     if kv is not None:
-        kv = jax.lax.dynamic_update_slice(
-            kv, k[None, None].astype(kv.dtype), (layer_idx, 0, 0, cache_len, 0, 0))
-        kv = jax.lax.dynamic_update_slice(
-            kv, v[None, None].astype(kv.dtype), (layer_idx, 1, 0, cache_len, 0, 0))
+        per_slot = hasattr(cache_len, "ndim") and jnp.ndim(cache_len) == 1
+        if per_slot:
+            # continuous-batching decode: S == 1, per-slot cache offsets
+            bidx = jnp.arange(B)
+            kv = kv.at[layer_idx, 0, bidx, cache_len].set(k[:, 0].astype(kv.dtype))
+            kv = kv.at[layer_idx, 1, bidx, cache_len].set(v[:, 0].astype(kv.dtype))
+        else:
+            kv = jax.lax.dynamic_update_slice(
+                kv, k[None, None].astype(kv.dtype), (layer_idx, 0, 0, cache_len, 0, 0))
+            kv = jax.lax.dynamic_update_slice(
+                kv, v[None, None].astype(kv.dtype), (layer_idx, 1, 0, cache_len, 0, 0))
         k_all, v_all = kv[layer_idx, 0], kv[layer_idx, 1]
         T = k_all.shape[1]
         t_idx = jnp.arange(T)[None, None, :]
-        s_idx = cache_len + jnp.arange(S)[None, :, None]
+        if per_slot:
+            s_idx = cache_len[:, None, None] + jnp.arange(S)[None, :, None]
+        else:
+            s_idx = cache_len + jnp.arange(S)[None, :, None]
         mask = jnp.broadcast_to(t_idx <= s_idx, (B, S, T))
     else:
         k_all, v_all = k, v
@@ -293,6 +303,14 @@ def llama_prefill(params, cfg, tokens, kv):
 def llama_decode_step(params, cfg, token, kv, cache_len):
     """token (B, 1); cache_len traced int32 -> (logits (B, 1, V), kv)."""
     return llama_forward(params, cfg, token, kv=kv, cache_len=cache_len)
+
+
+def llama_decode_step_batched(params, cfg, token, kv, cache_lens):
+    """Continuous-batching decode: token (B, 1), cache_lens (B,) int32 —
+    every slot advances by one token at its own cache offset."""
+    positions = cache_lens[:, None].astype(jnp.int32)
+    return llama_forward(params, cfg, token, kv=kv, cache_len=cache_lens,
+                         positions=positions)
 
 
 # ---------------------------------------------------------------------------

@@ -215,6 +215,10 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     gs = _effective_gs(meta, K, bk)
     if bk % gs or gs % n_planes:
         return False
+    if gs % 128:
+        # the (bm, c, gs) lane-split reshape requires a 128-multiple lane dim
+        # (Mosaic layout rule); gs<128 layers use the general fused kernel
+        return False
     t_rows = gs // n_planes
     if t_rows % 8:
         return False  # sublane-aligned plane reshape

@@ -1,0 +1,207 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Continuous-batching serving engine for quantized models.
+
+The reference delegates serving to vLLM/SGLang (reference README.md:171-196);
+here it is a first-class, TPU-native subsystem. Design:
+
+* **Static shapes everywhere.** A fixed pool of ``max_batch`` slots, each
+  owning a stripe of a preallocated KV cache (B = max_batch, T = max_seq_len).
+  Prompt lengths are padded to power-of-two buckets so the number of compiled
+  programs stays bounded (the serving analogue of the kernel M-bucketing,
+  reference triton_kernels/utils.py:136-174).
+* **Continuous batching.** Every engine step runs ONE jitted batched decode
+  over all slots (inactive slots are masked, their writes land in a scratch
+  cache row region beyond their length and are never attended). When a
+  sequence finishes, its slot is freed and a queued request is admitted with
+  a slot-local prefill — no global re-batching, no recompilation.
+* **Per-slot cache offsets** via scatter updates
+  (models/llama.py llama_decode_step_batched): slots decode at different
+  sequence positions inside one kernel launch.
+* **Mesh-ready.** Pass a Mesh + sharded params (shard_llama): the batch axis
+  can be dp-sharded and the packed weights tp-sharded; the engine only sees
+  pytrees, so pjit handles both.
+
+Sampling: greedy or temperature (jax PRNG threaded through the engine).
+"""
+
+import itertools
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Request", "ContinuousBatchingEngine", "GenerationResult"]
+
+
+@dataclass
+class Request:
+    prompt_tokens: Any                       # 1D int array/list
+    max_new_tokens: int = 64
+    temperature: float = 0.0                 # 0 => greedy
+    request_id: int = field(default_factory=itertools.count().__next__)
+
+
+@dataclass
+class GenerationResult:
+    request_id: int
+    prompt_tokens: List[int]
+    output_tokens: List[int]
+    finish_reason: str                       # "eos" | "length"
+
+
+def _next_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over a quantized Llama pytree."""
+
+    def __init__(self, params, cfg, max_batch: int = 8, eos_id: Optional[int] = None,
+                 prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048), seed: int = 0):
+        from .models.llama import init_kv_cache
+
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.eos_id = eos_id
+        self.buckets = tuple(b for b in sorted(prefill_buckets)
+                             if b <= cfg.max_seq_len)
+        self.kv = init_kv_cache(cfg, max_batch)
+        self.key = jax.random.PRNGKey(seed)
+
+        # host-side slot state
+        self.slot_req: List[Optional[Request]] = [None] * max_batch
+        self.slot_len = np.zeros(max_batch, np.int32)        # valid cache length
+        self.slot_out: List[List[int]] = [[] for _ in range(max_batch)]
+        self.slot_last = np.zeros(max_batch, np.int32)       # last sampled token
+        self.queue: List[Request] = []
+        self.finished: List[GenerationResult] = []
+
+        self._prefill_jit = jax.jit(self._prefill_impl)
+        self._decode_jit = jax.jit(self._decode_impl)
+
+    # ------------------------------------------------------------------
+    # jitted device functions
+    # ------------------------------------------------------------------
+    def _prefill_impl(self, params, tokens, kv, slot, true_len):
+        """tokens (1, Lb) padded; writes the slot's cache stripe; returns
+        (last-token logits (1, V), kv)."""
+        from .models.llama import llama_forward
+
+        kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
+        logits, kv_slot = llama_forward(params, self.cfg, tokens,
+                                        kv=kv_slot, cache_len=0)
+        kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
+        last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
+        return last[:, 0, :], kv
+
+    def _decode_impl(self, params, tokens, kv, cache_lens, active, key, temps):
+        """One batched decode step. tokens (B, 1); cache_lens (B,);
+        active (B,) bool; temps (B,). Returns (next_tokens (B,), kv, key)."""
+        from .models.llama import llama_decode_step_batched
+
+        # inactive slots write their k/v at their (stale) cache_lens row and
+        # never advance; the row is overwritten on (re)admission.
+        logits, kv = llama_decode_step_batched(params, self.cfg, tokens, kv,
+                                               cache_lens)
+        logits = logits[:, 0, :].astype(jnp.float32)          # (B, V)
+        key, sub = jax.random.split(key)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+        sampled = jax.random.categorical(sub, scaled, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(temps > 0, sampled, greedy)
+        return nxt, kv, key
+
+    # ------------------------------------------------------------------
+    # host-side scheduler
+    # ------------------------------------------------------------------
+    def submit(self, request: Request):
+        self.queue.append(request)
+
+    @property
+    def num_active(self) -> int:
+        return sum(r is not None for r in self.slot_req)
+
+    def _admit(self):
+        """Fill free slots from the queue with slot-local prefill."""
+        for slot in range(self.max_batch):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            prompt = np.asarray(req.prompt_tokens, np.int32).reshape(-1)
+            Lb = _next_bucket(len(prompt), self.buckets)
+            padded = np.zeros((1, Lb), np.int32)
+            padded[0, :len(prompt)] = prompt
+            logits, self.kv = self._prefill_jit(
+                self.params, jnp.asarray(padded), self.kv,
+                jnp.int32(slot), jnp.int32(len(prompt)))
+            if req.temperature > 0:
+                self.key, sub = jax.random.split(self.key)
+                tok = int(jax.random.categorical(
+                    sub, logits.astype(jnp.float32) / req.temperature, axis=-1)[0])
+            else:
+                tok = int(jnp.argmax(logits, axis=-1)[0])
+            self.slot_req[slot] = req
+            self.slot_len[slot] = len(prompt)
+            self.slot_out[slot] = [tok]
+            self.slot_last[slot] = tok
+            self._maybe_finish(slot, tok)
+
+    def _maybe_finish(self, slot: int, tok: int):
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        done_eos = self.eos_id is not None and tok == self.eos_id
+        done_len = len(self.slot_out[slot]) >= req.max_new_tokens
+        over_cap = int(self.slot_len[slot]) + len(self.slot_out[slot]) >= \
+            self.cfg.max_seq_len - 1
+        if done_eos or done_len or over_cap:
+            self.finished.append(GenerationResult(
+                request_id=req.request_id,
+                prompt_tokens=list(np.asarray(req.prompt_tokens).reshape(-1)),
+                output_tokens=list(self.slot_out[slot]),
+                finish_reason="eos" if done_eos else "length",
+            ))
+            self.slot_req[slot] = None
+            self.slot_out[slot] = []
+
+    def step(self):
+        """Admit pending requests, then advance every active slot one token."""
+        self._admit()
+        active = np.array([r is not None for r in self.slot_req])
+        if not active.any():
+            return
+        tokens = jnp.asarray(self.slot_last.reshape(-1, 1))
+        # position of the token being decoded: prompt_len + generated - 1
+        # (slot_out already holds the token sampled from prefill)
+        lens = self.slot_len + np.array(
+            [max(len(o) - 1, 0) for o in self.slot_out], np.int32)
+        temps = np.array([
+            (r.temperature if r is not None else 0.0)
+            for r in self.slot_req], np.float32)
+        nxt, self.kv, self.key = self._decode_jit(
+            self.params, tokens, self.kv, jnp.asarray(lens),
+            jnp.asarray(active), self.key, jnp.asarray(temps))
+        nxt = np.asarray(nxt)
+        for slot in range(self.max_batch):
+            if not active[slot]:
+                continue
+            tok = int(nxt[slot])
+            self.slot_out[slot].append(tok)
+            self.slot_last[slot] = tok
+            self._maybe_finish(slot, tok)
+
+    def run(self, max_steps: int = 10_000) -> List[GenerationResult]:
+        """Drive until every queued/active request finishes."""
+        for _ in range(max_steps):
+            if not self.queue and self.num_active == 0:
+                break
+            self.step()
+        out, self.finished = self.finished, []
+        return out
