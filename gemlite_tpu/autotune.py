@@ -39,8 +39,13 @@ VMEM_BUDGET = 48 * 1024 * 1024
 
 def _candidate_grid(effort: str, M, N, K, group_size):
     """(block_m, block_n, block_k) candidates by effort level."""
-    bms = [8, 16, 32, 64] if M > 1 else [8]
-    bms = [b for b in bms if b <= max(8, 2 * M)]
+    if M == 1:
+        bms = [8]
+    elif M <= 64:
+        bms = [b for b in (8, 16, 32, 64) if b <= max(8, 2 * M)]
+    else:  # prefill: whole-M blocks measured best on v5e up to 2048
+        bms = sorted({min(b, 2048) for b in (128, 256, 512, M)
+                      if b >= 128 and b <= max(128, M)})
     if effort == "max":
         bns = [256, 512, 1024, 2048, 4096]
         bks = [128, 256, 512, 1024, 2048, 4096]
@@ -103,6 +108,7 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
     from .core import get_matmul_type
     from .ops.dispatch import autotune_type_id
     from .ops.pallas_decode import can_use_decode_kernel, pallas_decode_matmul
+    from .ops.pallas_prefill import can_use_prefill_kernel, pallas_prefill_matmul
     from .ops.pallas_gemm import can_use_pallas, pallas_fused_matmul
 
     meta = layer.meta
@@ -128,6 +134,9 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
                 continue
             if M <= 64 and can_use_decode_kernel(meta, M, N, K, cfg):
                 run = lambda xx, c=cfg: pallas_decode_matmul(
+                    xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
+            elif M > 64 and can_use_prefill_kernel(meta, M, N, K, cfg):
+                run = lambda xx, c=cfg: pallas_prefill_matmul(
                     xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
             elif can_use_pallas(meta, M, N, K, cfg) and cfg.block_m >= 8:
                 run = lambda xx, c=cfg: pallas_fused_matmul(

@@ -20,6 +20,11 @@ from .pallas_decode import (
     select_decode_config,
     can_use_decode_kernel,
 )
+from .pallas_prefill import (
+    pallas_prefill_matmul,
+    select_prefill_config,
+    can_use_prefill_kernel,
+)
 
 
 def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
@@ -81,6 +86,12 @@ def _make_family_kernel(family: str):
             if can_use_decode_kernel(meta, M, N, K, dcfg):
                 return pallas_decode_matmul(x, W_q, scales, zeros, scales_x,
                                             meta, dcfg)
+        else:
+            # prefill regime: dequant-once cached-block kernel
+            pcfg = cfg if cfg is not None else select_prefill_config(meta, M, N, K)
+            if can_use_prefill_kernel(meta, M, N, K, pcfg):
+                return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
+                                             meta, pcfg)
 
         if cfg is None:
             base = select_default_config(meta, M, N, K)

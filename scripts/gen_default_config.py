@@ -27,16 +27,17 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else default_out
     os.makedirs(os.path.dirname(out), exist_ok=True)
 
-    # Llama-3-8B projection shapes + the benchmark shape
-    shapes = [(4096, 4096), (1024, 4096), (14336, 4096), (4096, 14336)]
-    for gs in (64, 128):
-        print(f"=== autotuning W4 gs={gs} over {shapes} ===", flush=True)
-        autotune_shapes(shapes, W_nbits=4, group_size=gs,
-                        batch_sizes=(1, 16, 64), effort="fast", verbose=True)
-    cfg.cache_config(out)
-    print(f"wrote {out}")
-    n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
-    print(f"{n} entries")
+    # Llama-3-8B projection shapes + the benchmark shape; write incrementally
+    shapes = [(4096, 4096), (14336, 4096), (4096, 14336), (1024, 4096)]
+    for gs in (128, 64):
+        for shape in shapes:
+            print(f"=== autotuning W4 gs={gs} {shape} ===", flush=True)
+            autotune_shapes([shape], W_nbits=4, group_size=gs,
+                            batch_sizes=(1, 16, 64, 512), effort="fast",
+                            verbose=True)
+            cfg.cache_config(out)
+            n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
+            print(f"wrote {out} ({n} entries)", flush=True)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,14 @@ def gen_hqq_data(rng, N, K, W_nbits, group_size):
 def _run_both(layer, x, M, N, K):
     meta = layer.meta
     cfg = select_decode_config(meta, M, N, K)
-    assert can_use_decode_kernel(meta, M, N, K, cfg), (meta.W_group_mode, cfg)
+    if not can_use_decode_kernel(meta, M, N, K, cfg):
+        # group sizes below 128 violate the Mosaic lane rule -> the layer
+        # must still produce correct results via the general-kernel fallback
+        K_ = meta.in_features
+        gs = meta.group_size if 1 < meta.group_size < K_ else K_
+        assert min(gs, cfg.block_k) % 128 != 0, (cfg, meta.group_size)
+        return layer(x), _ref_kernel(x, layer.W_q, layer.scales, layer.zeros,
+                                     None, meta)
     got = pallas_decode_matmul(x, layer.W_q, layer.scales, layer.zeros, None,
                                meta, cfg, interpret=True)
     want = _ref_kernel(x, layer.W_q, layer.scales, layer.zeros, None, meta)
