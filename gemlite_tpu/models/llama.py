@@ -232,6 +232,34 @@ def _attention(q, k, v, mask):
     return out.reshape(B, S, Hq, D).astype(v.dtype)
 
 
+def _can_use_flash(q, k) -> bool:
+    """Prefill flash-attention gate: TPU backend, flash-friendly shapes."""
+    B, S, Hq, D = q.shape
+    return (jax.default_backend() == "tpu"
+            and S >= 256 and S % 128 == 0
+            and D in (64, 128, 256))
+
+
+def _attention_flash_causal(q, k, v):
+    """Causal prefill attention via the Pallas TPU flash kernel (jax-shipped,
+    jax.experimental.pallas.ops.tpu.flash_attention) — O(S) memory instead of
+    materializing (B, H, S, S) scores. GQA handled by kv head repeat."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    B, S, Hq, D = q.shape
+    Hkv = k.shape[2]
+    rep = Hq // Hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    # (B, S, H, D) -> (B, H, S, D)
+    qt = q.swapaxes(1, 2).astype(jnp.float32)
+    kt = k.swapaxes(1, 2).astype(jnp.float32)
+    vt = v.swapaxes(1, 2).astype(jnp.float32)
+    out = flash_attention(qt, kt, vt, causal=True, sm_scale=1.0 / np.sqrt(D))
+    return out.swapaxes(1, 2).astype(v.dtype)
+
+
 def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
     """x: (B, S, H). kv: full cache (L, 2, B, T, Hkv, D) or None (no cache).
     cache_len: length of valid cache BEFORE this call (decode offset)."""
@@ -269,7 +297,15 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
         s_idx = jnp.arange(S)[None, :, None]
         mask = jnp.broadcast_to(t_idx <= s_idx, (B, S, S))
 
-    attn = _attention(q, k_all, v_all, mask).reshape(B, S, -1)
+    # flash path requires a statically-known zero cache offset (pure causal)
+    is_prefill = (kv is None) or (S > 1 and isinstance(cache_len, int)
+                                  and cache_len == 0)
+    if is_prefill and _can_use_flash(q, k):
+        # cache_len == 0 on the prefill path: causal over the first S cache
+        # entries == causal over k/v directly (cache tail is masked anyway)
+        attn = _attention_flash_causal(q, k, v).reshape(B, S, -1)
+    else:
+        attn = _attention(q, k_all, v_all, mask).reshape(B, S, -1)
     x = x + _apply(blk["attn"]["wo"], attn)
 
     h = _rms_norm(x, blk["ln_mlp"], cfg.norm_eps)
