@@ -163,9 +163,13 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     if not bn or not bk or N % bn or K % bk or bk % 128 or bm % 8:
         return False
+    # NOTE: unlike the decode kernel there is no gs % 128 lane constraint —
+    # the m-sweep dot contracts the full bk against the dequant cache, and x
+    # is permuted outside the kernel; only the plane-stack sublane alignment
+    # (t_rows % 8) applies.
     n_planes = 16 // meta.W_nbits
     gs = _effective_gs(meta, K, bk)
-    if bk % gs or gs % n_planes or gs % 128 or (gs // n_planes) % 8:
+    if bk % gs or gs % n_planes or (gs // n_planes) % 8:
         return False
     real_gs = meta.group_size
     if 1 < real_gs < K:
