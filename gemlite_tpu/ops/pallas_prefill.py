@@ -157,9 +157,12 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
         return False
     if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
         return False
-    cj = to_jax_dtype(DType(meta.input_dtype))
-    if not jnp.issubdtype(cj, jnp.floating) or jnp.dtype(cj).itemsize == 1:
+    from ..dtypes import is_mx_dtype
+    if is_mx_dtype(DType(meta.input_dtype)):
         return False
+    cj = to_jax_dtype(DType(meta.input_dtype))
+    if jnp.dtype(cj).itemsize > 2:
+        return False  # int8/fp8 exact in bf16; see pallas_decode note
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     if not bn or not bk or N % bn or K % bk or bk % 128 or bm % 8:
         return False
