@@ -112,8 +112,10 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
 
         # ---- raw group dots on the MXU --------------------------------
-        x_blk = x_ref[...]                        # plane-major-permuted x
-        xg = x_blk.reshape(bm, c, gs).swapaxes(0, 1)
+        # x arrives pre-shaped (G, Mp, gs) (plane-major within each group):
+        # the 3D layout keeps gs as a full minor axis, so no in-kernel
+        # lane-split reshape is needed and ANY group size >= 8*n_planes works
+        xg = x_ref[...]                            # (c, bm, gs)
         raw = jax.lax.dot_general(
             xg, bg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (c, bm, bn)
@@ -221,10 +223,6 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     gs = _effective_gs(meta, K, bk)
     if bk % gs or gs % n_planes:
         return False
-    if gs % 128:
-        # the (bm, c, gs) lane-split reshape requires a 128-multiple lane dim
-        # (Mosaic layout rule); gs<128 layers use the general fused kernel
-        return False
     t_rows = gs // n_planes
     if t_rows % 8:
         return False  # sublane-aligned plane reshape
@@ -290,14 +288,19 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
         if scales_x is not None and meta.channel_scale_mode in (2, 3):
             scales_x = jnp.pad(scales_x, ((0, Mp - M), (0, 0)))
+    # (Mp, K) -> (G_eff, Mp, gs): gs stays a full minor axis (any size)
+    G_eff = K // gs
+    xq = xq.reshape(Mp, G_eff, gs).transpose(1, 0, 2)
 
     has_scales = scales is not None and (
         meta.W_group_mode in (2, 3, 4) or meta.channel_scale_mode in (1, 3))
     has_zeros = zeros is not None and meta.W_group_mode in (1, 3, 4)
     has_scales_x = scales_x is not None and meta.channel_scale_mode in (2, 3)
 
+    c_blk = bk // gs
     in_specs = [
-        pl.BlockSpec((bm, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_blk, bm, gs), lambda j, k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((bk // meta.elements_per_sample, bn), lambda j, k: (k, j),
                      memory_space=pltpu.VMEM),
     ]
