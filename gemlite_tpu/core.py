@@ -271,7 +271,11 @@ class GemLiteLinear:
         if packing_bitwidth is None:
             packing_bitwidth = GemLiteLinear.PACKING_BITWIDTH
         if is_mx_dtype(self.input_dtype):
-            packing_bitwidth = 8  # MX formats use byte packing
+            # fp4 codes pack into int32 words (8/word) so the plane-unpack
+            # kernels apply; fp8 weights stay as native fp8 (non-packed).
+            # (The reference forces byte packing for tl.dot_scaled layouts,
+            # core.py:364-365 — a Triton constraint that does not apply here.)
+            packing_bitwidth = 32 if self.W_nbits == 4 else 8
 
         if self.out_features is None or self.in_features is None:
             self.out_features, self.in_features = W_q.shape

@@ -71,9 +71,29 @@ def _halfword_mask(W_nbits: int) -> int:
     return m | (m << 16)
 
 
+def _fp4_planes(w, n_planes, c, t_rows, bn):
+    """Unpack fp4-e2m1 codes from int32 words into TRUE bf16 values via pure
+    bit remapping (validated): bf16_bits = 0x3F00 + ((c&7)<<6) for normals,
+    (c&1)*0x3F00 for subnormals, sign bit3 -> bit15. Two values per op chain
+    (16-bit halves)."""
+    planes = []
+    for j in range(n_planes):
+        t = (w >> (4 * j)) & 0x000F000F
+        n = t & 0x00070007
+        bits = (n << 6) + 0x3F003F00
+        f = ((n >> 1) | (n >> 2)) & 0x00010001         # 1 where normal
+        mask = (f ^ 0x00010001) * 0xFFFF               # per-half subnormal
+        subbits = (n & 0x00010001) * 0x3F00
+        bits = (bits & ~mask) | (subbits & mask)
+        bits = bits | ((t & 0x00080008) << 12)
+        planes.append(pltpu.bitcast(bits, jnp.bfloat16).reshape(c, t_rows, bn))
+    return planes
+
+
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, fma_zeros,
-                 out_jdtype, bm, bn, bk, gs, real_gs, n_k):
+                 out_jdtype, bm, bn, bk, gs, real_gs, n_k,
+                 w_codec=None, scale_codec=None):
     """gs here is the effective group size clamped to [n_planes, bk];
     real_gs is the layer's group size (used to index the meta strips when a
     k-step covers only part of one group, i.e. bk < real_gs)."""
@@ -103,13 +123,22 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         w = w_ref[...]
-        # ---- planes: (c, t, bn) bf16 raw codes + OFFSET, 3 VPU ops/word ----
-        planes = [
-            pltpu.bitcast(((w >> (W_nbits * j)) & mask) | MAGIC16, jnp.bfloat16)
-            .reshape(c, t_rows, bn)
-            for j in range(n_planes)
-        ]
-        bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
+        # ---- planes: (c, t, bn) bf16, cheap bit-trick unpack ---------------
+        if w_codec == "fp8w":
+            # non-packed fp8 weights: native convert, true values
+            planes = None
+            bg = w.astype(jnp.bfloat16).reshape(c, gs, bn)
+        elif w_codec == "fp4":
+            planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
+        else:
+            # integer codes + OFFSET, 3 VPU ops/word
+            planes = [
+                pltpu.bitcast(((w >> (W_nbits * j)) & mask) | MAGIC16,
+                              jnp.bfloat16).reshape(c, t_rows, bn)
+                for j in range(n_planes)
+            ]
+        if planes is not None:
+            bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
 
         # ---- raw group dots on the MXU --------------------------------
         # x arrives pre-shaped (G, Mp, gs) (plane-major within each group):
@@ -130,9 +159,19 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 m = ref[pl.ds((k * bk) // real_gs, 1), :]
             else:
                 m = ref[pl.ds(k * c, c), :]
-            return m.astype(jnp.float32)[:, None, :]   # (c, 1, bn)
+            if scale_codec == "e8m0" and ref is s_ref:
+                # exponent bits (shipped as int32) -> 2^(E-127)
+                return jax.lax.bitcast_convert_type(
+                    jax.lax.shift_left(m, 23), jnp.float32)[:, None, :]
+            m = m.astype(jnp.float32)[:, None, :]      # (c, 1, bn)
+            if scale_codec == "nvfp4" and ref is s_ref:
+                m = m * 0.05                            # NVFP4 meta-scale
+            return m
 
-        if W_group_mode == 2:
+        if W_group_mode == 2 and w_codec in ("fp4", "fp8w"):
+            # fp4/fp8 planes are true values: just the block scale, post-dot
+            contrib = raw * meta_rows(s_ref)
+        elif W_group_mode == 2:
             # symmetric: b = code * s = (v - OFFSET) * s
             s3 = meta_rows(s_ref)
             contrib = (raw - xs * OFFSET) * s3
@@ -200,19 +239,26 @@ def _effective_gs(meta, K: int, bk: int) -> int:
 
 def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     """Constraints for the plane raw-dot decode kernel."""
-    if meta.W_nbits not in (1, 2, 4):
+    from ..dtypes import is_mx_dtype
+    input_dtype = DType(meta.input_dtype)
+    mx_fp8w = (is_mx_dtype(input_dtype) and meta.W_nbits == 8
+               and meta.elements_per_sample == 1 and meta.W_group_mode == 2)
+    if meta.W_nbits not in (1, 2, 4) and not mx_fp8w:
         return False
-    if meta.elements_per_sample != 32 // meta.W_nbits:
+    if not mx_fp8w and meta.elements_per_sample != 32 // meta.W_nbits:
         return False  # requires int32 packing
     if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
         return False
-    from ..dtypes import is_mx_dtype
-    input_dtype = DType(meta.input_dtype)
     if is_mx_dtype(input_dtype):
-        return False  # MX block-scale path handled elsewhere
-    cj = to_jax_dtype(input_dtype)
-    if jnp.dtype(cj).itemsize > 2:
-        return False
+        # MXFP4-coded weights take the fp4 bit-remap plane path, fp8 weights
+        # the direct-convert path; dynamic MX activations arrive
+        # fake-quantized (csm already rewritten to 0/2)
+        if not mx_fp8w and (meta.W_nbits != 4 or meta.W_group_mode != 2):
+            return False
+    else:
+        cj = to_jax_dtype(input_dtype)
+        if jnp.dtype(cj).itemsize > 2:
+            return False
     # int8/fp8 activations are exact in bf16, so the bf16 MXU path is valid
     # (fp32 accumulation; the reference's int32-exact accumulation is relaxed
     # to bf16-product rounding, within its own test tolerances)
@@ -281,8 +327,14 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     n_k = K // bk
     out_jdtype = to_jax_dtype(meta.output_dtype)
 
+    from ..dtypes import is_mx_dtype
+    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
+               and meta.elements_per_sample == 1)
     compute = jnp.bfloat16
-    xq = permute_x_for_planes(x.astype(compute), meta.W_nbits, gs)
+    if mx_fp8w:
+        xq = x.astype(compute)  # non-packed weights: natural k order
+    else:
+        xq = permute_x_for_planes(x.astype(compute), meta.W_nbits, gs)
     Mp = _cdiv(M, bm) * bm
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
@@ -296,6 +348,19 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         meta.W_group_mode in (2, 3, 4) or meta.channel_scale_mode in (1, 3))
     has_zeros = zeros is not None and meta.W_group_mode in (1, 3, 4)
     has_scales_x = scales_x is not None and meta.channel_scale_mode in (2, 3)
+
+    # MX codecs: fp4 weight codes; e8m0 / nvfp4-fp8 scale encodings.
+    # e8m0 exponent strips ship as int32 (Mosaic uint8 arithmetic is limited)
+    w_codec = scale_codec = None
+    if mx_fp8w or (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 4):
+        w_codec = "fp8w" if mx_fp8w else "fp4"
+        if has_scales:
+            if scales.dtype == jnp.uint8:
+                scale_codec = "e8m0"
+                scales = scales.astype(jnp.int32)
+            elif scales.dtype == jnp.float8_e4m3fn:
+                scale_codec = "nvfp4"
+                scales = scales.astype(jnp.float32)
 
     c_blk = bk // gs
     in_specs = [
@@ -344,6 +409,7 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         bm=bm, bn=bn, bk=bk, gs=gs,
         real_gs=meta.group_size if 1 < meta.group_size < K else bk,
         n_k=n_k,
+        w_codec=w_codec, scale_codec=scale_codec,
     )
 
     cost = pl.CostEstimate(
@@ -364,6 +430,7 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=cost,
         interpret=interpret,

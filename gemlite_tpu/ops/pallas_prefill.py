@@ -38,6 +38,7 @@ from ..config import KernelConfig
 from .pallas_decode import (
     MAGIC16,
     OFFSET,
+    _fp4_planes,
     _halfword_mask,
     _effective_gs,
     _interpret_mode,
@@ -51,7 +52,8 @@ __all__ = ["pallas_prefill_matmul", "can_use_prefill_kernel",
 
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, out_jdtype,
-                 bm, bn, bk, gs, real_gs, n_k, n_m):
+                 bm, bn, bk, gs, real_gs, n_k, n_m,
+                 w_codec=None, scale_codec=None):
     n_planes = 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     c = bk // gs
@@ -87,19 +89,34 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 mrow = ref[pl.ds((k * bk) // real_gs, 1), :]
             else:
                 mrow = ref[pl.ds(k * c, c), :]
-            return mrow.astype(jnp.float32)[:, None, :]   # (c, 1, bn)
+            if scale_codec == "e8m0" and ref is s_ref:
+                return jax.lax.bitcast_convert_type(
+                    jax.lax.shift_left(mrow, 23), jnp.float32)[:, None, :]
+            mrow = mrow.astype(jnp.float32)[:, None, :]   # (c, 1, bn)
+            if scale_codec == "nvfp4" and ref is s_ref:
+                mrow = mrow * 0.05
+            return mrow
 
         # ---- dequantize the weight block once per (j, k) ----------------
         @pl.when(m == 0)
         def _():
             w = w_ref[...]
-            planes = [
-                pltpu.bitcast(((w >> (W_nbits * j)) & mask) | MAGIC16,
-                              jnp.bfloat16).reshape(c, t_rows, bn)
-                for j in range(n_planes)
-            ]
-            v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # codes + OFFSET
-            if W_group_mode == 2:
+            if w_codec == "fp8w":
+                v = w.astype(jnp.bfloat16).reshape(c, gs, bn)  # true values
+            elif w_codec == "fp4":
+                planes = _fp4_planes(w, n_planes, c, t_rows, bn)
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # true values
+            else:
+                planes = [
+                    pltpu.bitcast(((w >> (W_nbits * j)) & mask) | MAGIC16,
+                                  jnp.bfloat16).reshape(c, t_rows, bn)
+                    for j in range(n_planes)
+                ]
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # codes+OFFSET
+            if W_group_mode == 2 and w_codec in ("fp4", "fp8w"):
+                # true-value planes: block scale only
+                b = v.astype(jnp.float32) * meta_rows(s_ref)
+            elif W_group_mode == 2:
                 s3 = meta_rows(s_ref)
                 b = ((v.astype(jnp.float32) - OFFSET) * s3)
             elif W_group_mode == 1:
@@ -151,18 +168,22 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
 def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     """Same dtype/packing/mode constraints as the decode kernel, without the
     M <= block_m restriction; plus a VMEM bound on the full-M accumulator."""
-    if meta.W_nbits not in (1, 2, 4):
+    from ..dtypes import is_mx_dtype
+    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
+               and meta.elements_per_sample == 1 and meta.W_group_mode == 2)
+    if meta.W_nbits not in (1, 2, 4) and not mx_fp8w:
         return False
-    if meta.elements_per_sample != 32 // meta.W_nbits:
+    if not mx_fp8w and meta.elements_per_sample != 32 // meta.W_nbits:
         return False
     if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
         return False
-    from ..dtypes import is_mx_dtype
     if is_mx_dtype(DType(meta.input_dtype)):
-        return False
-    cj = to_jax_dtype(DType(meta.input_dtype))
-    if jnp.dtype(cj).itemsize > 2:
-        return False  # int8/fp8 exact in bf16; see pallas_decode note
+        if not mx_fp8w and (meta.W_nbits != 4 or meta.W_group_mode != 2):
+            return False
+    else:
+        cj = to_jax_dtype(DType(meta.input_dtype))
+        if jnp.dtype(cj).itemsize > 2:
+            return False  # int8/fp8 exact in bf16; see pallas_decode note
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     if not bn or not bk or N % bn or K % bk or bk % 128 or bm % 8:
         return False
@@ -226,7 +247,13 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
     n_k = K // bk
     out_jdtype = to_jax_dtype(meta.output_dtype)
 
-    xq = permute_x_for_planes(x.astype(jnp.bfloat16), meta.W_nbits, gs)
+    from ..dtypes import is_mx_dtype
+    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
+               and meta.elements_per_sample == 1)
+    if mx_fp8w:
+        xq = x.astype(jnp.bfloat16)  # non-packed weights: natural k order
+    else:
+        xq = permute_x_for_planes(x.astype(jnp.bfloat16), meta.W_nbits, gs)
     Mp = _cdiv(M, bm) * bm
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
@@ -238,6 +265,17 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         meta.W_group_mode in (2, 3, 4) or meta.channel_scale_mode in (1, 3))
     has_zeros = zeros is not None and meta.W_group_mode in (1, 3, 4)
     has_scales_x = scales_x is not None and meta.channel_scale_mode in (2, 3)
+
+    w_codec = scale_codec = None
+    if mx_fp8w or (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 4):
+        w_codec = "fp8w" if mx_fp8w else "fp4"
+        if has_scales:
+            if scales.dtype == jnp.uint8:
+                scale_codec = "e8m0"
+                scales = scales.astype(jnp.int32)
+            elif scales.dtype == jnp.float8_e4m3fn:
+                scale_codec = "nvfp4"
+                scales = scales.astype(jnp.float32)
 
     in_specs = [
         pl.BlockSpec((bm, bk), lambda j, k, m: (m, k), memory_space=pltpu.VMEM),
@@ -282,6 +320,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         bm=bm, bn=bn, bk=bk, gs=gs,
         real_gs=meta.group_size if 1 < meta.group_size < K else bk,
         n_k=n_k, n_m=n_m,
+        w_codec=w_codec, scale_codec=scale_codec,
     )
 
     cost = pl.CostEstimate(
