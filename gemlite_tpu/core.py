@@ -282,6 +282,13 @@ class GemLiteLinear:
             self.orig_shape = (self.out_features, self.in_features)
 
         # --- weight storage -------------------------------------------------
+        if is_mx_dtype(self.input_dtype) and self.W_nbits == 8 \
+           and W_q.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            # MXFP8 weights: store the fp8 BITS packed 4-per-int32 so the
+            # plane-unpack kernels' fp8->bf16 bit remap applies (bytes stored
+            # are identical to the fp8 values; only the container changes)
+            W_q = jax.lax.bitcast_convert_type(W_q, jnp.uint8)
+            packing_bitwidth = 32
         if W_q.dtype == jnp.uint8:
             # packed low-bit path: (N, K) uint8 -> (K // elems, N) ints
             self.W_q, self.elements_per_sample = pack_weights_over_cols(

@@ -154,6 +154,12 @@ def mx_dequantize_weight_ref(W_q_packed, scales, meta: LayerMeta):
         from .bitpack import unpack_over_rows
         codes = unpack_over_rows(W_q_packed, 4, K)  # (K, N) uint8 codes
         vals = fp4_dequant(codes)
+    elif W_q_packed.dtype == jnp.int32:
+        # fp8 bits packed 4-per-int32 (core.pack MXFP8 path)
+        from .bitpack import unpack_over_rows
+        codes = unpack_over_rows(W_q_packed, 8, K)  # (K, N) uint8 bit patterns
+        vals = jax.lax.bitcast_convert_type(
+            codes, jnp.float8_e4m3fn).astype(jnp.float32)
     else:
         vals = W_q_packed.astype(jnp.float32)  # fp8 stored (K, N)
     G = scales.shape[0]

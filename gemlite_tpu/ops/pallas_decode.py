@@ -90,6 +90,24 @@ def _fp4_planes(w, n_planes, c, t_rows, bn):
     return planes
 
 
+def _fp8_planes(w, c, t_rows, bn):
+    """fp8-e4m3 bit patterns (4 per int32 word) -> TRUE bf16 values via bit
+    remap (validated): bits = ((c&0x7F)<<4) + 0x3C00, sign bit7 -> bit15.
+    Zeros and subnormals (|v| < 2^-6, the bottom of the e4m3 grid) flush to
+    +-0 — a bounded deviation only on near-zero weights."""
+    planes = []
+    for j in range(2):
+        t8 = (w >> (8 * j)) & 0x00FF00FF
+        me = t8 & 0x007F007F
+        bits = (me << 4) + 0x3C003C00
+        e = t8 & 0x00780078
+        f = ((e >> 3) | (e >> 4) | (e >> 5) | (e >> 6)) & 0x00010001
+        bits = bits & (f * 0xFFFF)
+        bits = bits | ((t8 & 0x00800080) << 8)
+        planes.append(pltpu.bitcast(bits, jnp.bfloat16).reshape(c, t_rows, bn))
+    return planes
+
+
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, fma_zeros,
                  out_jdtype, bm, bn, bk, gs, real_gs, n_k,
@@ -125,9 +143,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         w = w_ref[...]
         # ---- planes: (c, t, bn) bf16, cheap bit-trick unpack ---------------
         if w_codec == "fp8w":
-            # non-packed fp8 weights: native convert, true values
-            planes = None
-            bg = w.astype(jnp.bfloat16).reshape(c, gs, bn)
+            planes = _fp8_planes(w, c, t_rows, bn)            # TRUE values
         elif w_codec == "fp4":
             planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
         else:
@@ -137,8 +153,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                               jnp.bfloat16).reshape(c, t_rows, bn)
                 for j in range(n_planes)
             ]
-        if planes is not None:
-            bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
+        bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
 
         # ---- raw group dots on the MXU --------------------------------
         # x arrives pre-shaped (G, Mp, gs) (plane-major within each group):
@@ -242,10 +257,10 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     from ..dtypes import is_mx_dtype
     input_dtype = DType(meta.input_dtype)
     mx_fp8w = (is_mx_dtype(input_dtype) and meta.W_nbits == 8
-               and meta.elements_per_sample == 1 and meta.W_group_mode == 2)
+               and meta.elements_per_sample == 4 and meta.W_group_mode == 2)
     if meta.W_nbits not in (1, 2, 4) and not mx_fp8w:
         return False
-    if not mx_fp8w and meta.elements_per_sample != 32 // meta.W_nbits:
+    if meta.elements_per_sample != 32 // meta.W_nbits:
         return False  # requires int32 packing
     if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
         return False
@@ -329,12 +344,9 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
 
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-               and meta.elements_per_sample == 1)
+               and meta.elements_per_sample == 4)
     compute = jnp.bfloat16
-    if mx_fp8w:
-        xq = x.astype(compute)  # non-packed weights: natural k order
-    else:
-        xq = permute_x_for_planes(x.astype(compute), meta.W_nbits, gs)
+    xq = permute_x_for_planes(x.astype(compute), meta.W_nbits, gs)
     Mp = _cdiv(M, bm) * bm
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))

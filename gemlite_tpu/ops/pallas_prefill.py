@@ -39,6 +39,7 @@ from .pallas_decode import (
     MAGIC16,
     OFFSET,
     _fp4_planes,
+    _fp8_planes,
     _halfword_mask,
     _effective_gs,
     _interpret_mode,
@@ -102,7 +103,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         def _():
             w = w_ref[...]
             if w_codec == "fp8w":
-                v = w.astype(jnp.bfloat16).reshape(c, gs, bn)  # true values
+                planes = _fp8_planes(w, c, t_rows, bn)
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # true values
             elif w_codec == "fp4":
                 planes = _fp4_planes(w, n_planes, c, t_rows, bn)
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # true values
@@ -170,10 +172,10 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     M <= block_m restriction; plus a VMEM bound on the full-M accumulator."""
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-               and meta.elements_per_sample == 1 and meta.W_group_mode == 2)
+               and meta.elements_per_sample == 4 and meta.W_group_mode == 2)
     if meta.W_nbits not in (1, 2, 4) and not mx_fp8w:
         return False
-    if not mx_fp8w and meta.elements_per_sample != 32 // meta.W_nbits:
+    if meta.elements_per_sample != 32 // meta.W_nbits:
         return False
     if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
         return False
@@ -249,11 +251,8 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
 
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-               and meta.elements_per_sample == 1)
-    if mx_fp8w:
-        xq = x.astype(jnp.bfloat16)  # non-packed weights: natural k order
-    else:
-        xq = permute_x_for_planes(x.astype(jnp.bfloat16), meta.W_nbits, gs)
+               and meta.elements_per_sample == 4)
+    xq = permute_x_for_planes(x.astype(jnp.bfloat16), meta.W_nbits, gs)
     Mp = _cdiv(M, bm) * bm
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
