@@ -54,6 +54,14 @@ def pack_weights_over_cols(W_q, W_nbits: int, packing_bitwidth: int = 32, transp
     rows, cols = W_q.shape
     assert cols % elems == 0, f"cols ({cols}) must be divisible by elements_per_sample ({elems})"
 
+    # host-side numpy input: use the multithreaded C++ packer when available
+    # (checkpoint-load fast path; bit-identical layout)
+    if transpose and isinstance(W_q, np.ndarray) and W_q.dtype == np.uint8:
+        from . import native
+        packed_np = native.pack_over_cols_np(W_q, W_nbits, packing_bitwidth)
+        if packed_np is not None:
+            return jnp.asarray(packed_np), elems
+
     v = jnp.asarray(W_q).astype(jnp.int32).reshape(rows, cols // elems, elems)
     planes = [v[:, :, j] << (j * W_nbits) for j in range(elems)]
     packed = functools.reduce(jnp.bitwise_or, planes)
