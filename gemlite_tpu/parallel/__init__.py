@@ -6,3 +6,4 @@ from .sharding import (
     RowParallelLinear,
     check_shard_alignment,
 )
+from .pipeline import split_stages, stack_stages, pipeline_apply
