@@ -37,4 +37,11 @@ from .ops import dispatch as _dispatch  # noqa: F401
 from . import helper
 from .autotune import autotune_layer, autotune_shapes
 
+# auto-load the shipped per-chip autotune table (reference core.py:634-654)
+from .config import load_default_config as _load_default_config
+try:  # never fail import because of a config table
+    _load_default_config()
+except Exception:  # pragma: no cover
+    pass
+
 __version__ = "0.1.0"

@@ -317,16 +317,31 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
 
 
 def llama_forward(params, cfg: LlamaConfig, tokens, kv=None, cache_len=0,
-                  positions=None):
+                  positions=None, sequence_parallel_axis=None):
     """tokens (B, S) -> logits (B, S, V). With kv, updates the cache at
-    cache_len and attends over it (prefill: cache_len=0; decode: S==1)."""
+    cache_len and attends over it (prefill: cache_len=0; decode: S==1).
+
+    sequence_parallel_axis: mesh axis name for sequence parallelism — the
+    residual stream between blocks is constrained to be sharded over S on
+    that axis; XLA then turns the TP all-reduces into reduce-scatter +
+    all-gather pairs around each block (Megatron-SP), shrinking both the
+    activation footprint and the collective volume for long sequences."""
     B, S = tokens.shape
     if positions is None:
         positions = cache_len + jnp.arange(S)[None, :].astype(jnp.int32)
         positions = jnp.broadcast_to(positions, (B, S))
     x = params["embed"][tokens]
+
+    def sp(h):
+        if sequence_parallel_axis is None:
+            return h
+        return jax.lax.with_sharding_constraint(
+            h, P(None, sequence_parallel_axis, None))
+
+    x = sp(x)
     for i, blk in enumerate(params["blocks"]):
         x, kv = _block_forward(blk, cfg, x, positions, kv, i, cache_len)
+        x = sp(x)
     x = _rms_norm(x, params["ln_f"], cfg.norm_eps)
     logits = _apply(params["lm_head"], x)
     return (logits, kv) if kv is not None else logits
