@@ -36,6 +36,7 @@ from . import ops as _ops_registration  # wires the kernel registry
 from .ops import dispatch as _dispatch  # noqa: F401
 from . import helper
 from .autotune import autotune_layer, autotune_shapes
+from .checkpoint import save_model, load_model
 
 # auto-load the shipped per-chip autotune table (reference core.py:634-654)
 from .config import load_default_config as _load_default_config

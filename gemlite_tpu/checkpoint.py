@@ -1,0 +1,93 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Whole-model checkpointing for pytrees containing quantized layers.
+
+The reference stops at layer-level state_dicts (core.py:502-517); serving a
+model needs the whole parameter tree — including GemLiteLinear nodes with
+their packed buffers and metadata vectors — saved and restored in one file.
+
+Format: a single .npz holding every array leaf under a path key, plus a JSON
+manifest describing the tree structure; GemLiteLinear nodes serialize as
+their reference-compatible state_dict (packed W_q + 12-int metadata +
+orig_shape). Works for any nesting of dict / list / tuple / arrays.
+"""
+
+import json
+import io
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core import GemLiteLinear
+
+__all__ = ["save_model", "load_model"]
+
+_GEMLITE_TAG = "__gemlite_linear__"
+
+
+def _flatten(obj, path, arrays, manifest):
+    if isinstance(obj, GemLiteLinear):
+        sd = obj.state_dict()
+        manifest[path] = {_GEMLITE_TAG: sorted(sd.keys())}
+        for k, v in sd.items():
+            arrays[f"{path}/{k}"] = np.asarray(v)
+    elif isinstance(obj, dict):
+        manifest[path] = {"dict": sorted(obj.keys())}
+        for k in obj:
+            _flatten(obj[k], f"{path}/{k}", arrays, manifest)
+    elif isinstance(obj, (list, tuple)):
+        manifest[path] = {"list" if isinstance(obj, list) else "tuple": len(obj)}
+        for i, v in enumerate(obj):
+            _flatten(v, f"{path}/{i}", arrays, manifest)
+    elif obj is None:
+        manifest[path] = {"none": True}
+    else:
+        arr = np.asarray(obj)
+        manifest[path] = {"array": str(arr.dtype)}
+        # bf16 has no numpy dtype: store bits with a marker
+        if arr.dtype == jnp.bfloat16:
+            arrays[path] = np.asarray(jnp.asarray(obj).view(jnp.uint16))
+            manifest[path] = {"array": "bfloat16"}
+        else:
+            arrays[path] = arr
+
+
+def _unflatten(path, arrays, manifest):
+    node = manifest[path]
+    if _GEMLITE_TAG in node:
+        sd = {k: arrays[f"{path}/{k}"] for k in node[_GEMLITE_TAG]}
+        layer = GemLiteLinear.__new__(GemLiteLinear)
+        layer.bias = None
+        layer.load_state_dict(sd)
+        return layer
+    if "dict" in node:
+        return {k: _unflatten(f"{path}/{k}", arrays, manifest)
+                for k in node["dict"]}
+    if "list" in node:
+        return [_unflatten(f"{path}/{i}", arrays, manifest)
+                for i in range(node["list"])]
+    if "tuple" in node:
+        return tuple(_unflatten(f"{path}/{i}", arrays, manifest)
+                     for i in range(node["tuple"]))
+    if "none" in node:
+        return None
+    arr = arrays[path]
+    if node["array"] == "bfloat16":
+        return jnp.asarray(arr).view(jnp.bfloat16)
+    return jnp.asarray(arr)
+
+
+def save_model(params: Any, path: str):
+    """Save a parameter pytree (dicts/lists/arrays/GemLiteLinear) to .npz."""
+    arrays, manifest = {}, {}
+    _flatten(params, "root", arrays, manifest)
+    arrays["__manifest__"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_model(path: str) -> Any:
+    with np.load(path, allow_pickle=False) as data:
+        arrays = {k: data[k] for k in data.files}
+    manifest = json.loads(bytes(arrays.pop("__manifest__")).decode())
+    return _unflatten("root", arrays, manifest)
