@@ -205,3 +205,14 @@ class ContinuousBatchingEngine:
             self.step()
         out, self.finished = self.finished, []
         return out
+
+    def generate(self, prompts, max_new_tokens: int = 64,
+                 temperature: float = 0.0) -> List[List[int]]:
+        """Convenience: submit a batch of prompts, run to completion, return
+        output token lists in prompt order."""
+        reqs = [Request(prompt_tokens=p, max_new_tokens=max_new_tokens,
+                        temperature=temperature) for p in prompts]
+        for r in reqs:
+            self.submit(r)
+        by_id = {r.request_id: r for r in self.run()}
+        return [by_id[r.request_id].output_tokens for r in reqs]
