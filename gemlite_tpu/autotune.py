@@ -51,7 +51,7 @@ def _candidate_grid(effort: str, M, N, K, group_size):
         bks = [128, 256, 512, 1024, 2048, 4096]
     else:  # fast
         bns = [512, 1024, 2048, 4096]
-        bks = [512, 1024, 2048]
+        bks = [512, 1024, 2048, 4096]
     bns = [b for b in bns if N % b == 0]
     bks = [b for b in bks if K % b == 0]
     return [KernelConfig(bm, bn, bk)
