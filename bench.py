@@ -21,7 +21,8 @@ import numpy as np
 
 HBM_ROOFLINE_GBPS = {
     # spec sheet numbers per chip
-    "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v6e": 1638.0, "v4": 1228.0,
+    "v5 lite": 819.0, "v5litepod": 819.0, "v5e": 819.0, "v5p": 2765.0,
+    "v6 lite": 1638.0, "v6e": 1638.0, "v4": 1228.0, "v7": 7400.0,
 }
 
 
