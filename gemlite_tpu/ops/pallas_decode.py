@@ -309,7 +309,8 @@ def select_decode_config(meta, M, N, K) -> KernelConfig:
     while bm < min(M, 64):
         bm *= 2
     bn = 0
-    for cand in (4096, 2048, 1024, 512, 256, 128):
+    # robust-timed order on v5e (16.7 / 16.9 / 17.7 us at 4096^2 A16W4)
+    for cand in (2048, 1024, 4096, 512, 256, 128):
         if N % cand == 0:
             bn = cand
             break
