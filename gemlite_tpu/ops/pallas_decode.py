@@ -119,6 +119,12 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     mask = _halfword_mask(W_nbits)
     c = bk // gs            # groups per k-step (>= 1)
     t_rows = gs // n_planes  # bf16 plane rows per group
+    # sub-byte codes fit bf16's 7-bit mantissa (v = 128 + code exact);
+    # 8-bit codes need fp16's 10-bit mantissa (v = 1024 + code exact)
+    if w_codec is None and W_nbits == 8:
+        plane_magic, plane_dtype, offset = 0x64006400, jnp.float16, 1024.0
+    else:
+        plane_magic, plane_dtype, offset = MAGIC16, jnp.bfloat16, OFFSET
 
     def kernel(*refs):
         i = 0
@@ -147,10 +153,10 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         elif w_codec == "fp4":
             planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
         else:
-            # integer codes + OFFSET, 3 VPU ops/word
+            # integer codes + offset, 3 VPU ops/word
             planes = [
-                pltpu.bitcast(((w >> (W_nbits * j)) & mask) | MAGIC16,
-                              jnp.bfloat16).reshape(c, t_rows, bn)
+                pltpu.bitcast(((w >> (W_nbits * j)) & mask) | plane_magic,
+                              plane_dtype).reshape(c, t_rows, bn)
                 for j in range(n_planes)
             ]
         bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
@@ -189,27 +195,27 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         elif W_group_mode == 2:
             # symmetric: b = code * s = (v - OFFSET) * s
             s3 = meta_rows(s_ref)
-            contrib = (raw - xs * OFFSET) * s3
+            contrib = (raw - xs * offset) * s3
         elif W_group_mode == 1:
             # shift only: b = code - z
             if zero_is_scalar:
-                zoff = z_ref[0, 0].astype(jnp.float32) + OFFSET
+                zoff = z_ref[0, 0].astype(jnp.float32) + offset
             else:
-                zoff = meta_rows(z_ref) + OFFSET
+                zoff = meta_rows(z_ref) + offset
             contrib = raw - xs * zoff
         elif W_group_mode == 3:
             # asymmetric: b = (code - z) * s
             s3 = meta_rows(s_ref)
             if zero_is_scalar:
-                zoff = z_ref[0, 0].astype(jnp.float32) + OFFSET
+                zoff = z_ref[0, 0].astype(jnp.float32) + offset
             else:
-                zoff = meta_rows(z_ref) + OFFSET
+                zoff = meta_rows(z_ref) + offset
             contrib = (raw - xs * zoff) * s3
         elif W_group_mode == 4:
             # fma-packed zeros (z' = -z*s): b = code*s + z'
             s3 = meta_rows(s_ref)
             z3 = meta_rows(z_ref)
-            contrib = (raw - xs * OFFSET) * s3 + xs * z3
+            contrib = (raw - xs * offset) * s3 + xs * z3
         else:  # pragma: no cover - guarded by can_use_decode_kernel
             raise NotImplementedError(W_group_mode)
 
@@ -258,7 +264,9 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     input_dtype = DType(meta.input_dtype)
     mx_fp8w = (is_mx_dtype(input_dtype) and meta.W_nbits == 8
                and meta.elements_per_sample == 4 and meta.W_group_mode == 2)
-    if meta.W_nbits not in (1, 2, 4) and not mx_fp8w:
+    w8_codes = (not is_mx_dtype(input_dtype) and meta.W_nbits == 8
+                and meta.elements_per_sample == 4)
+    if meta.W_nbits not in (1, 2, 4) and not (mx_fp8w or w8_codes):
         return False
     if meta.elements_per_sample != 32 // meta.W_nbits:
         return False  # requires int32 packing
@@ -346,7 +354,8 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
                and meta.elements_per_sample == 4)
-    compute = jnp.bfloat16
+    # W8 integer codes use the fp16 exponent trick -> fp16 dot operands
+    compute = jnp.float16 if (meta.W_nbits == 8 and not mx_fp8w) else jnp.bfloat16
     xq = permute_x_for_planes(x.astype(compute), meta.W_nbits, gs)
     Mp = _cdiv(M, bm) * bm
     if Mp != M:

@@ -59,6 +59,10 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     mask = _halfword_mask(W_nbits)
     c = bk // gs
     t_rows = gs // n_planes
+    if w_codec is None and W_nbits == 8:
+        plane_magic, plane_dtype, offset = 0x64006400, jnp.float16, 1024.0
+    else:
+        plane_magic, plane_dtype, offset = MAGIC16, jnp.bfloat16, OFFSET
 
     def kernel(*refs):
         i = 0
@@ -110,8 +114,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # true values
             else:
                 planes = [
-                    pltpu.bitcast(((w >> (W_nbits * j)) & mask) | MAGIC16,
-                                  jnp.bfloat16).reshape(c, t_rows, bn)
+                    pltpu.bitcast(((w >> (W_nbits * j)) & mask) | plane_magic,
+                                  plane_dtype).reshape(c, t_rows, bn)
                     for j in range(n_planes)
                 ]
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # codes+OFFSET
@@ -120,26 +124,26 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 b = v.astype(jnp.float32) * meta_rows(s_ref)
             elif W_group_mode == 2:
                 s3 = meta_rows(s_ref)
-                b = ((v.astype(jnp.float32) - OFFSET) * s3)
+                b = ((v.astype(jnp.float32) - offset) * s3)
             elif W_group_mode == 1:
                 if zero_is_scalar:
-                    zoff = z_ref[0, 0].astype(jnp.float32) + OFFSET
+                    zoff = z_ref[0, 0].astype(jnp.float32) + offset
                 else:
-                    zoff = meta_rows(z_ref) + OFFSET
+                    zoff = meta_rows(z_ref) + offset
                 b = v.astype(jnp.float32) - zoff
             elif W_group_mode == 3:
                 s3 = meta_rows(s_ref)
                 if zero_is_scalar:
-                    zoff = z_ref[0, 0].astype(jnp.float32) + OFFSET
+                    zoff = z_ref[0, 0].astype(jnp.float32) + offset
                 else:
-                    zoff = meta_rows(z_ref) + OFFSET
+                    zoff = meta_rows(z_ref) + offset
                 b = (v.astype(jnp.float32) - zoff) * s3
             elif W_group_mode == 4:
                 s3 = meta_rows(s_ref)
                 z3 = meta_rows(z_ref)
-                b = (v.astype(jnp.float32) - OFFSET) * s3 + z3
+                b = (v.astype(jnp.float32) - offset) * s3 + z3
             else:  # mode 0: raw codes (non-packed never routes here)
-                b = v.astype(jnp.float32) - OFFSET
+                b = v.astype(jnp.float32) - offset
             # (c, gs, bn) -> (bk, bn): adjacent leading-dim merge, lanes
             # untouched — cheap, and done once per (j, k) block
             bscr[...] = b.astype(jnp.bfloat16).reshape(bk, bn)
@@ -173,7 +177,9 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
                and meta.elements_per_sample == 4 and meta.W_group_mode == 2)
-    if meta.W_nbits not in (1, 2, 4) and not mx_fp8w:
+    w8_codes = (not is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
+                and meta.elements_per_sample == 4)
+    if meta.W_nbits not in (1, 2, 4) and not (mx_fp8w or w8_codes):
         return False
     if meta.elements_per_sample != 32 // meta.W_nbits:
         return False
