@@ -28,7 +28,9 @@ def timed_slope(fn, x, n1=200, n2=800, repeats=3):
         def body(i, c):
             xx = x + (c * jnp.asarray(1e-30, jnp.float32)).astype(x.dtype)
             y = fn(xx)
-            return y.astype(jnp.float32).ravel()[0] * 1e-12
+            # consume the FULL output so XLA cannot dead-code-eliminate
+            # columns of a dense matmul baseline
+            return jnp.sum(y.astype(jnp.float32)) * 1e-12
         return lax.fori_loop(0, n, body, jnp.float32(0))
 
     float(loop(x, n2))
