@@ -226,10 +226,13 @@ def select_prefill_config(meta, M, N, K) -> KernelConfig:
     bm = 128
     while bm < min(M, 2048):
         bm *= 2
-    bn = next((b for b in (1024, 512, 256, 2048, 128) if N % b == 0), 0)
+    # narrow-n + deep-k blocks minimize accumulator traffic and build the
+    # dequant cache once per j: (1024, 512, 4096) hit 175.6 TF at M=1024
+    # on v5e (97% of the dense bf16 matmul)
+    bn = next((b for b in (512, 1024, 256, 2048, 128) if N % b == 0), 0)
     gs = meta.group_size if 1 < meta.group_size < K else K
     bk = 0
-    for cand in (1024, 2048, 512, 4096, 256, 128):
+    for cand in (4096, 2048, 1024, 512, 256, 128):
         if K % cand or cand % 128:
             continue
         gse = min(gs, cand)
