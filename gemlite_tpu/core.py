@@ -123,6 +123,9 @@ class LayerMeta(NamedTuple):
     out_features: int = 0
     zero_is_scalar: int = 0
     packing_bitwidth: int = 32
+    # fp8-weight code flavor for MXFP8 layers: 0 = default (e4m3),
+    # DType.FP8e5.value when the packed bytes are e5m2 bit patterns
+    w_code_dtype: int = 0
 
     @property
     def meta_args(self):
@@ -250,6 +253,7 @@ class GemLiteLinear:
         self.data_contiguous = True
         self.zero_is_scalar = False
         self.packing_bitwidth = None
+        self.w_code_dtype = 0
 
     # ------------------------------------------------------------------
     # pack(): offline weight preparation + dequant-mode decision tree.
@@ -287,6 +291,8 @@ class GemLiteLinear:
             # MXFP8 weights: store the fp8 BITS packed 4-per-int32 so the
             # plane-unpack kernels' fp8->bf16 bit remap applies (bytes stored
             # are identical to the fp8 values; only the container changes)
+            self.w_code_dtype = (DType.FP8e5.value
+                                 if W_q.dtype == jnp.float8_e5m2 else 0)
             W_q = jax.lax.bitcast_convert_type(W_q, jnp.uint8)
             packing_bitwidth = 32
         if W_q.dtype == jnp.uint8:
@@ -430,6 +436,7 @@ class GemLiteLinear:
             out_features=self.out_features,
             zero_is_scalar=int(self.zero_is_scalar),
             packing_bitwidth=self.packing_bitwidth or 32,
+            w_code_dtype=getattr(self, "w_code_dtype", 0),
         )
 
     def forward_manual(self, x, matmul_type: str = "GEMM"):
@@ -459,6 +466,8 @@ class GemLiteLinear:
             sd["zeros"] = np.asarray(self.zeros)
         if self.bias is not None:
             sd["bias"] = np.asarray(self.bias)
+        if getattr(self, "w_code_dtype", 0):
+            sd["w_code_dtype"] = np.asarray(self.w_code_dtype, dtype=np.int32)
         return sd
 
     def load_state_dict(self, state_dict):
@@ -486,6 +495,7 @@ class GemLiteLinear:
         self.zeros = jnp.asarray(zeros) if zeros is not None else None
         self.zero_is_scalar = self.zeros is not None and self.zeros.ndim == 0
         self.bias = jnp.asarray(sd["bias"]) if "bias" in sd else None
+        self.w_code_dtype = int(np.asarray(sd["w_code_dtype"])) if "w_code_dtype" in sd else 0
         self.packing_bitwidth = 32
         if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4) \
            and self.scales is not None and self.scales.dtype != jnp.uint8:
@@ -531,6 +541,7 @@ class GemLiteLinear:
         layer.orig_shape = (meta.out_features, meta.in_features)
         layer.zero_is_scalar = bool(meta.zero_is_scalar)
         layer.packing_bitwidth = meta.packing_bitwidth
+        layer.w_code_dtype = meta.w_code_dtype
         layer.compute_dtype = to_jax_dtype(layer.input_dtype)
         layer.signature = (layer.in_features, layer.out_features, layer.W_nbits, layer.group_size)
         return layer

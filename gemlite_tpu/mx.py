@@ -158,8 +158,9 @@ def mx_dequantize_weight_ref(W_q_packed, scales, meta: LayerMeta):
         # fp8 bits packed 4-per-int32 (core.pack MXFP8 path)
         from .bitpack import unpack_over_rows
         codes = unpack_over_rows(W_q_packed, 8, K)  # (K, N) uint8 bit patterns
-        vals = jax.lax.bitcast_convert_type(
-            codes, jnp.float8_e4m3fn).astype(jnp.float32)
+        fp8 = (jnp.float8_e5m2 if meta.w_code_dtype == DType.FP8e5.value
+               else jnp.float8_e4m3fn)
+        vals = jax.lax.bitcast_convert_type(codes, fp8).astype(jnp.float32)
     else:
         vals = W_q_packed.astype(jnp.float32)  # fp8 stored (K, N)
     G = scales.shape[0]
@@ -200,11 +201,12 @@ def _wb(layer_or_w, bias):
 class A16Wn_MXFP:
     """Weight-only MXFP8/MXFP4: activations stay fp16/bf16."""
 
-    def __init__(self, device=None, dtype=None, W_nbits=None):
+    def __init__(self, device=None, dtype=None, W_nbits=None,
+                 fp8=jnp.float8_e4m3fn):
         self.device = device
         self.dtype = dtype if dtype is not None else jnp.bfloat16
         self.W_nbits = W_nbits
-        self.mx_fp8_dtype = jnp.float8_e4m3fn
+        self.mx_fp8_dtype = fp8
 
     def from_weights(self, W_q, scales, bias=None):
         return pack_mxfp_layer(W_q, scales, self.W_nbits, dtype=self.dtype,
@@ -219,8 +221,8 @@ class A16Wn_MXFP:
 
 
 class A16W8_MXFP(A16Wn_MXFP):
-    def __init__(self, device=None, dtype=None):
-        super().__init__(device, dtype, W_nbits=8)
+    def __init__(self, device=None, dtype=None, fp8=jnp.float8_e4m3fn):
+        super().__init__(device, dtype, W_nbits=8, fp8=fp8)
 
 
 class A16W4_MXFP(A16Wn_MXFP):

@@ -86,6 +86,13 @@ def _make_family_kernel(family: str):
             if can_use_decode_kernel(meta, M, N, K, dcfg):
                 return pallas_decode_matmul(x, W_q, scales, zeros, scales_x,
                                             meta, dcfg)
+            # NVFP4 (gs=16) has no raw-dot decode form (a 16-group batched
+            # dot stalls the MXU); the flat-dot prefill kernel covers the
+            # small-M regime via M padding with its pair-fused build
+            pcfg = cfg if cfg is not None else select_prefill_config(meta, M, N, K)
+            if can_use_prefill_kernel(meta, M, N, K, pcfg):
+                return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
+                                             meta, pcfg)
         else:
             # prefill regime: dequant-once cached-block kernel
             pcfg = cfg if cfg is not None else select_prefill_config(meta, M, N, K)

@@ -90,18 +90,27 @@ def _fp4_planes(w, n_planes, c, t_rows, bn):
     return planes
 
 
-def _fp8_planes(w, c, t_rows, bn):
-    """fp8-e4m3 bit patterns (4 per int32 word) -> TRUE bf16 values via bit
-    remap (validated): bits = ((c&0x7F)<<4) + 0x3C00, sign bit7 -> bit15.
-    Zeros and subnormals (|v| < 2^-6, the bottom of the e4m3 grid) flush to
-    +-0 — a bounded deviation only on near-zero weights."""
+def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
+    """fp8 bit patterns (4 per int32 word) -> TRUE bf16 values via bit remap
+    (validated): e4m3 bits = ((c&0x7F)<<4) + 0x3C00, e5m2 bits =
+    ((c&0x7F)<<5) + 0x3800; sign bit7 -> bit15 either way. Zeros and
+    subnormals (the bottom of the fp8 grid) flush to +-0 — a bounded
+    deviation only on near-zero weights. e5m2 inf/nan (E=31) decode as
+    large finite values ~2^16; quantized weights never contain them."""
+    if e5m2:
+        mant_shift, exp_base, exp_mask, exp_lsb = 5, 0x38003800, 0x007C007C, 2
+    else:
+        mant_shift, exp_base, exp_mask, exp_lsb = 4, 0x3C003C00, 0x00780078, 3
     planes = []
     for j in range(2):
         t8 = (w >> (8 * j)) & 0x00FF00FF
         me = t8 & 0x007F007F
-        bits = (me << 4) + 0x3C003C00
-        e = t8 & 0x00780078
-        f = ((e >> 3) | (e >> 4) | (e >> 5) | (e >> 6)) & 0x00010001
+        bits = (me << mant_shift) + exp_base
+        e = t8 & exp_mask
+        f = e >> exp_lsb
+        for s in range(exp_lsb + 1, 7):
+            f = f | (e >> s)
+        f = f & 0x00010001
         bits = bits & (f * 0xFFFF)
         bits = bits | ((t8 & 0x00800080) << 8)
         planes.append(pltpu.bitcast(bits, jnp.bfloat16).reshape(c, t_rows, bn))
@@ -148,8 +157,9 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
 
         w = w_ref[...]
         # ---- planes: (c, t, bn) bf16, cheap bit-trick unpack ---------------
-        if w_codec == "fp8w":
-            planes = _fp8_planes(w, c, t_rows, bn)            # TRUE values
+        if w_codec in ("fp8w", "fp8w5"):
+            planes = _fp8_planes(w, c, t_rows, bn,
+                                 e5m2=(w_codec == "fp8w5"))   # TRUE values
         elif w_codec == "fp4":
             planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
         else:
@@ -189,7 +199,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 m = m * 0.05                            # NVFP4 meta-scale
             return m
 
-        if W_group_mode == 2 and w_codec in ("fp4", "fp8w"):
+        if W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
             # fp4/fp8 planes are true values: just the block scale, post-dot
             contrib = raw * meta_rows(s_ref)
         elif W_group_mode == 2:
@@ -375,7 +385,10 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     # e8m0 exponent strips ship as int32 (Mosaic uint8 arithmetic is limited)
     w_codec = scale_codec = None
     if mx_fp8w or (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 4):
-        w_codec = "fp8w" if mx_fp8w else "fp4"
+        if mx_fp8w:
+            w_codec = "fp8w5" if meta.w_code_dtype == DType.FP8e5.value else "fp8w"
+        else:
+            w_codec = "fp4"
         if has_scales:
             if scales.dtype == jnp.uint8:
                 scale_codec = "e8m0"

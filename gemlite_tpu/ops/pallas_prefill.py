@@ -54,9 +54,13 @@ __all__ = ["pallas_prefill_matmul", "can_use_prefill_kernel",
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, out_jdtype,
                  bm, bn, bk, gs, real_gs, n_k, n_m,
-                 w_codec=None, scale_codec=None):
+                 w_codec=None, scale_codec=None, pair_fused=False):
     n_planes = 16 // W_nbits
     mask = _halfword_mask(W_nbits)
+    # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
+    # (t_rows = 8, sublane-aligned) while scales stay per real 16-group; the
+    # per-group scaling happens on a (c2, P, 2, t, bn) view before the flat
+    # merge. gs arrives as 32 in this mode; the scale row count is bk // 16.
     c = bk // gs
     t_rows = gs // n_planes
     if w_codec is None and W_nbits == 8:
@@ -87,17 +91,19 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             # acc persists across the whole (k, m) sweep for this j block
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
+        c_meta = 2 * c if pair_fused else c
+
         def meta_rows(ref):
-            if c >= ref.shape[0]:
+            if c_meta >= ref.shape[0]:
                 mrow = ref[...]
             elif bk < real_gs:
                 mrow = ref[pl.ds((k * bk) // real_gs, 1), :]
             else:
-                mrow = ref[pl.ds(k * c, c), :]
+                mrow = ref[pl.ds(k * c_meta, c_meta), :]
             if scale_codec == "e8m0" and ref is s_ref:
                 return jax.lax.bitcast_convert_type(
                     jax.lax.shift_left(mrow, 23), jnp.float32)[:, None, :]
-            mrow = mrow.astype(jnp.float32)[:, None, :]   # (c, 1, bn)
+            mrow = mrow.astype(jnp.float32)[:, None, :]   # (c_meta, 1, bn)
             if scale_codec == "nvfp4" and ref is s_ref:
                 mrow = mrow * 0.05
             return mrow
@@ -106,8 +112,21 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         @pl.when(m == 0)
         def _():
             w = w_ref[...]
-            if w_codec == "fp8w":
-                planes = _fp8_planes(w, c, t_rows, bn)
+            if pair_fused:
+                # NVFP4 gs=16: build on fused 32-blocks (t_rows = 8), scale
+                # on the (c, P, pair, t/2, bn) view. Plane row s of build
+                # block q holds k = 32q + 4s + j, so the pair axis is s // 4.
+                planes = _fp4_planes(w, n_planes, c, t_rows, bn)
+                v = jnp.stack(planes, axis=1)               # (c, P, 8, bn)
+                s3 = meta_rows(s_ref)                       # (2c, 1, bn)
+                sv = s3.reshape(c, 1, 2, 1, bn)
+                v5 = v.reshape(c, n_planes, 2, t_rows // 2, bn)
+                b = v5.astype(jnp.float32) * sv
+                bscr[...] = b.astype(jnp.bfloat16).reshape(bk, bn)
+                return
+            if w_codec in ("fp8w", "fp8w5"):
+                planes = _fp8_planes(w, c, t_rows, bn,
+                                     e5m2=(w_codec == "fp8w5"))
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # true values
             elif w_codec == "fp4":
                 planes = _fp4_planes(w, n_planes, c, t_rows, bn)
@@ -119,7 +138,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                     for j in range(n_planes)
                 ]
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # codes+OFFSET
-            if W_group_mode == 2 and w_codec in ("fp4", "fp8w"):
+            if W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
                 # true-value planes: block scale only
                 b = v.astype(jnp.float32) * meta_rows(s_ref)
             elif W_group_mode == 2:
@@ -171,6 +190,16 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     return kernel
 
 
+def _is_pair_fused(meta, K: int, bk: int) -> bool:
+    """NVFP4 layers (fp4 codes, gs=16 fp8 scales) need the pair-fused plane
+    build: a 16-group is only 4 bf16 plane rows (sublane-misaligned), so
+    planes are built on fused 32-blocks and scales applied per real group."""
+    from ..dtypes import is_mx_dtype
+    return (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 4
+            and meta.group_size == 16 and meta.W_group_mode == 2
+            and bk % 32 == 0)
+
+
 def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     """Same dtype/packing/mode constraints as the decode kernel, without the
     M <= block_m restriction; plus a VMEM bound on the full-M accumulator."""
@@ -198,9 +227,13 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     # NOTE: unlike the decode kernel there is no gs % 128 lane constraint —
     # the m-sweep dot contracts the full bk against the dequant cache, and x
     # is permuted outside the kernel; only the plane-stack sublane alignment
-    # (t_rows % 8) applies.
+    # (t_rows % 8) applies. NVFP4 (gs=16, t_rows=4) is handled by the
+    # pair-fused build: planes built on 32-blocks, scales applied per 16.
     n_planes = 16 // meta.W_nbits
     gs = _effective_gs(meta, K, bk)
+    pair_fused = _is_pair_fused(meta, K, bk)
+    if pair_fused:
+        gs = 32
     if bk % gs or gs % n_planes or (gs // n_planes) % 8:
         return False
     real_gs = meta.group_size
@@ -208,7 +241,7 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
         if (bk > real_gs and bk % real_gs) or (bk < real_gs and real_gs % bk):
             return False
         G = K // real_gs
-        c = bk // gs
+        c = (bk // 16) if pair_fused else (bk // gs)
         if 1 < c < G and c % 8:
             return False
     # full-M accumulator + dequant scratch must fit comfortably in VMEM
@@ -223,9 +256,11 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
 def select_prefill_config(meta, M, N, K) -> KernelConfig:
     # Measured on v5e: the whole-M block (no m grid, full-M accumulator)
     # wins as long as it fits VMEM; x streams once, weights stream once.
-    bm = 128
+    # (small M arises when this kernel covers the NVFP4 decode regime)
+    bm = 8
     while bm < min(M, 2048):
         bm *= 2
+    bm = max(bm, 128) if M > 64 else bm
     # narrow-n + deep-k blocks minimize accumulator traffic and build the
     # dequant cache once per j: (1024, 512, 4096) hit 175.6 TF at M=1024
     # on v5e (97% of the dense bf16 matmul)
@@ -255,6 +290,9 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
 
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     gs = _effective_gs(meta, K, bk)
+    pair_fused = _is_pair_fused(meta, K, bk)
+    if pair_fused:
+        gs = 32
     n_k = K // bk
     out_jdtype = to_jax_dtype(meta.output_dtype)
 
@@ -276,7 +314,10 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
 
     w_codec = scale_codec = None
     if mx_fp8w or (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 4):
-        w_codec = "fp8w" if mx_fp8w else "fp4"
+        if mx_fp8w:
+            w_codec = "fp8w5" if meta.w_code_dtype == DType.FP8e5.value else "fp8w"
+        else:
+            w_codec = "fp4"
         if has_scales:
             if scales.dtype == jnp.uint8:
                 scale_codec = "e8m0"
@@ -328,7 +369,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         bm=bm, bn=bn, bk=bk, gs=gs,
         real_gs=meta.group_size if 1 < meta.group_size < K else bk,
         n_k=n_k, n_m=n_m,
-        w_codec=w_codec, scale_codec=scale_codec,
+        w_codec=w_codec, scale_codec=scale_codec, pair_fused=pair_fused,
     )
 
     cost = pl.CostEstimate(
