@@ -18,6 +18,8 @@ from .bitpack import (
 from .core import (
     GemLiteLinear,
     GemLiteLinearTPU,
+    GemLiteLinearTriton,
+    GEMLITE_ACC_DTYPE,
     forward_functional,
     get_matmul_type,
     set_acc_dtype,
@@ -32,6 +34,12 @@ from .config import (
     load_config,
     reset_config,
 )
+# class-level statics, as the reference exposes them (core.py:559-627:
+# GemLiteLinear.cache_config / load_config / reset_config)
+GemLiteLinear.cache_config = staticmethod(cache_config)
+GemLiteLinear.load_config = staticmethod(load_config)
+GemLiteLinear.reset_config = staticmethod(reset_config)
+
 from . import ops as _ops_registration  # wires the kernel registry
 from .ops import dispatch as _dispatch  # noqa: F401
 from . import helper

@@ -548,6 +548,9 @@ class GemLiteLinear:
 
 
 GemLiteLinearTPU = GemLiteLinear  # explicit alias
+# drop-in import-compatibility alias (the reference exports its layer as
+# GemLiteLinearTriton == GemLiteLinear, reference core.py:631 + __init__.py)
+GemLiteLinearTriton = GemLiteLinear
 
 
 def set_packing_bitwidth(packing_bitwidth: int):
