@@ -17,6 +17,10 @@ here it is a first-class, TPU-native subsystem. Design:
 * **Per-slot cache offsets** via scatter updates
   (models/llama.py llama_decode_step_batched): slots decode at different
   sequence positions inside one kernel launch.
+* **Chunked prefill** (``prefill_chunk=N``): long prompts are prefilled N
+  tokens per engine step at a traced cache offset, interleaved with decode
+  of the other slots — a long admission no longer stalls running streams,
+  and chunk processing costs exactly one compiled program.
 * **Mesh-ready.** Pass a Mesh + sharded params (shard_llama): the batch axis
   can be dp-sharded and the packed weights tp-sharded; the engine only sees
   pytrees, so pjit handles both.
@@ -63,7 +67,8 @@ class ContinuousBatchingEngine:
     """Slot-based continuous batching over a quantized Llama pytree."""
 
     def __init__(self, params, cfg, max_batch: int = 8, eos_id: Optional[int] = None,
-                 prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048), seed: int = 0):
+                 prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048), seed: int = 0,
+                 prefill_chunk: Optional[int] = None):
         from .models.llama import init_kv_cache
 
         self.params = params
@@ -72,6 +77,10 @@ class ContinuousBatchingEngine:
         self.eos_id = eos_id
         self.buckets = tuple(b for b in sorted(prefill_buckets)
                              if b <= cfg.max_seq_len)
+        # chunked prefill: long prompts are prefilled prefill_chunk tokens per
+        # engine step, interleaved with decode of the other slots — bounds the
+        # per-step latency a long admission adds (one compiled chunk program)
+        self.prefill_chunk = prefill_chunk
         self.kv = init_kv_cache(cfg, max_batch)
         self.key = jax.random.PRNGKey(seed)
 
@@ -80,10 +89,12 @@ class ContinuousBatchingEngine:
         self.slot_len = np.zeros(max_batch, np.int32)        # valid cache length
         self.slot_out: List[List[int]] = [[] for _ in range(max_batch)]
         self.slot_last = np.zeros(max_batch, np.int32)       # last sampled token
+        self.slot_pending: List[Optional[np.ndarray]] = [None] * max_batch
         self.queue: List[Request] = []
         self.finished: List[GenerationResult] = []
 
         self._prefill_jit = jax.jit(self._prefill_impl)
+        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl)
         self._decode_jit = jax.jit(self._decode_impl)
 
     # ------------------------------------------------------------------
@@ -97,6 +108,20 @@ class ContinuousBatchingEngine:
         kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
         logits, kv_slot = llama_forward(params, self.cfg, tokens,
                                         kv=kv_slot, cache_len=0)
+        kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
+        last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
+        return last[:, 0, :], kv
+
+    def _prefill_chunk_impl(self, params, tokens, kv, slot, cache_len, true_len):
+        """One prompt chunk at a traced cache offset. tokens (1, C) padded;
+        writes rows [cache_len, cache_len + C) of the slot's stripe (pad rows
+        are overwritten by the next chunk / first decodes); returns the
+        logits at the chunk's last valid position."""
+        from .models.llama import llama_forward
+
+        kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
+        logits, kv_slot = llama_forward(params, self.cfg, tokens,
+                                        kv=kv_slot, cache_len=cache_len)
         kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
         last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
         return last[:, 0, :], kv
@@ -128,6 +153,13 @@ class ContinuousBatchingEngine:
     def num_active(self) -> int:
         return sum(r is not None for r in self.slot_req)
 
+    def _sample_first(self, req, logits):
+        if req.temperature > 0:
+            self.key, sub = jax.random.split(self.key)
+            return int(jax.random.categorical(
+                sub, logits.astype(jnp.float32) / req.temperature, axis=-1)[0])
+        return int(jnp.argmax(logits, axis=-1)[0])
+
     def _admit(self):
         """Fill free slots from the queue with slot-local prefill."""
         for slot in range(self.max_batch):
@@ -135,20 +167,46 @@ class ContinuousBatchingEngine:
                 continue
             req = self.queue.pop(0)
             prompt = np.asarray(req.prompt_tokens, np.int32).reshape(-1)
+            if self.prefill_chunk and len(prompt) > self.prefill_chunk:
+                # chunked admission: claim the slot; chunks advance in step()
+                self.slot_req[slot] = req
+                self.slot_len[slot] = 0
+                self.slot_out[slot] = []
+                self.slot_pending[slot] = prompt
+                continue
             Lb = _next_bucket(len(prompt), self.buckets)
             padded = np.zeros((1, Lb), np.int32)
             padded[0, :len(prompt)] = prompt
             logits, self.kv = self._prefill_jit(
                 self.params, jnp.asarray(padded), self.kv,
                 jnp.int32(slot), jnp.int32(len(prompt)))
-            if req.temperature > 0:
-                self.key, sub = jax.random.split(self.key)
-                tok = int(jax.random.categorical(
-                    sub, logits.astype(jnp.float32) / req.temperature, axis=-1)[0])
-            else:
-                tok = int(jnp.argmax(logits, axis=-1)[0])
+            tok = self._sample_first(req, logits)
             self.slot_req[slot] = req
             self.slot_len[slot] = len(prompt)
+            self.slot_out[slot] = [tok]
+            self.slot_last[slot] = tok
+            self._maybe_finish(slot, tok)
+
+    def _advance_prefills(self):
+        """Process one prompt chunk per mid-prefill slot (chunked mode)."""
+        C = self.prefill_chunk
+        for slot in range(self.max_batch):
+            pend = self.slot_pending[slot]
+            if pend is None:
+                continue
+            chunk, rest = pend[:C], pend[C:]
+            padded = np.zeros((1, C), np.int32)
+            padded[0, :len(chunk)] = chunk
+            logits, self.kv = self._prefill_chunk_jit(
+                self.params, jnp.asarray(padded), self.kv, jnp.int32(slot),
+                jnp.int32(int(self.slot_len[slot])), jnp.int32(len(chunk)))
+            self.slot_len[slot] += len(chunk)
+            if len(rest):
+                self.slot_pending[slot] = rest
+                continue
+            self.slot_pending[slot] = None
+            req = self.slot_req[slot]
+            tok = self._sample_first(req, logits)
             self.slot_out[slot] = [tok]
             self.slot_last[slot] = tok
             self._maybe_finish(slot, tok)
@@ -170,11 +228,18 @@ class ContinuousBatchingEngine:
             ))
             self.slot_req[slot] = None
             self.slot_out[slot] = []
+            self.slot_pending[slot] = None
 
     def step(self):
-        """Admit pending requests, then advance every active slot one token."""
+        """Admit pending requests, advance prompt chunks, then advance every
+        decoding slot one token."""
         self._admit()
-        active = np.array([r is not None for r in self.slot_req])
+        self._advance_prefills()
+        # mid-prefill slots are not decoded; their batched-decode cache write
+        # lands at slot_len (the next chunk's first row) and is overwritten
+        active = np.array([
+            r is not None and self.slot_pending[i] is None
+            for i, r in enumerate(self.slot_req)])
         if not active.any():
             return
         tokens = jnp.asarray(self.slot_last.reshape(-1, 1))

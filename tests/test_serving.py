@@ -116,3 +116,28 @@ def test_eos_stops_early(model):
     r = eng.run()[0]
     assert r.finish_reason == "eos"
     assert r.output_tokens == full[:stop]
+
+
+def test_chunked_prefill_matches_whole_prefill(model):
+    """Chunked admission (prefill_chunk tokens per engine step, interleaved
+    with decode of other slots) must not change any output."""
+    params, cfg = model
+    rng = np.random.default_rng(4)
+    long_p = rng.integers(0, cfg.vocab_size, size=21).tolist()
+    short_p = rng.integers(0, cfg.vocab_size, size=5).tolist()
+    n_new = 6
+
+    want_long = reference_generate(params, cfg, long_p, n_new)
+    want_short = reference_generate(params, cfg, short_p, n_new)
+
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=4,
+                                   prefill_buckets=(8, 16, 32),
+                                   prefill_chunk=8)
+    eng.submit(Request(prompt_tokens=short_p, max_new_tokens=n_new))
+    eng.step()  # short prompt decoding while the long one chunks in
+    eng.submit(Request(prompt_tokens=long_p, max_new_tokens=n_new))
+    results = eng.run()
+    got_long = next(r for r in results if r.prompt_tokens == long_p)
+    got_short = next(r for r in results if r.prompt_tokens == short_p)
+    assert got_long.output_tokens == want_long
+    assert got_short.output_tokens == want_short
