@@ -5,6 +5,7 @@ Shows the slot pool recycling, late arrivals joining running batches, and
 the batched-decode throughput accounting.
 
 Usage: python examples/serving_demo.py [--slots 4] [--requests 12]
+                                       [--prefill-chunk 32]
 """
 import argparse
 import _pathfix  # noqa: F401
@@ -18,6 +19,9 @@ def main():
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--requests", type=int, default=12)
     ap.add_argument("--max-new", type=int, default=24)
+    ap.add_argument("--prefill-chunk", type=int, default=None,
+                    help="chunked prefill: tokens per engine step for long "
+                         "prompts (interleaved with decode of other slots)")
     args = ap.parse_args()
 
     from gemlite_tpu.models import LlamaConfig, init_llama, quantize_llama
@@ -30,7 +34,8 @@ def main():
           f"{args.slots} slots, {args.requests} requests")
     params = quantize_llama(init_llama(cfg, seed=0), W_nbits=4, group_size=64)
     eng = ContinuousBatchingEngine(params, cfg, max_batch=args.slots,
-                                   prefill_buckets=(16, 32, 64))
+                                   prefill_buckets=(16, 32, 64),
+                                   prefill_chunk=args.prefill_chunk)
 
     rng = np.random.default_rng(0)
     n_tok = 0
