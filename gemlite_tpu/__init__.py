@@ -46,11 +46,8 @@ from . import helper
 from .autotune import autotune_layer, autotune_shapes
 from .checkpoint import save_model, load_model
 
-# auto-load the shipped per-chip autotune table (reference core.py:634-654)
-from .config import load_default_config as _load_default_config
-try:  # never fail import because of a config table
-    _load_default_config()
-except Exception:  # pragma: no cover
-    pass
+# The shipped per-chip autotune table is loaded lazily on first kernel
+# dispatch (config.ensure_default_config) — importing gemlite_tpu must not
+# force-initialize the jax backend (jax.devices()) as a side effect.
 
 __version__ = "0.1.0"

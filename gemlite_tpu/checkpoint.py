@@ -25,16 +25,24 @@ __all__ = ["save_model", "load_model"]
 _GEMLITE_TAG = "__gemlite_linear__"
 
 
+def _esc(key: str) -> str:
+    """Escape the path separator so dict keys containing '/' (HF-style flat
+    param names) cannot collide with nested paths."""
+    if not isinstance(key, str):
+        raise TypeError(f"checkpoint dict keys must be str, got {type(key)!r}")
+    return key.replace("%", "%25").replace("/", "%2F")
+
+
 def _flatten(obj, path, arrays, manifest):
     if isinstance(obj, GemLiteLinear):
         sd = obj.state_dict()
         manifest[path] = {_GEMLITE_TAG: sorted(sd.keys())}
         for k, v in sd.items():
-            arrays[f"{path}/{k}"] = np.asarray(v)
+            arrays[f"{path}/{_esc(k)}"] = np.asarray(v)
     elif isinstance(obj, dict):
         manifest[path] = {"dict": sorted(obj.keys())}
         for k in obj:
-            _flatten(obj[k], f"{path}/{k}", arrays, manifest)
+            _flatten(obj[k], f"{path}/{_esc(k)}", arrays, manifest)
     elif isinstance(obj, (list, tuple)):
         manifest[path] = {"list" if isinstance(obj, list) else "tuple": len(obj)}
         for i, v in enumerate(obj):
@@ -55,13 +63,13 @@ def _flatten(obj, path, arrays, manifest):
 def _unflatten(path, arrays, manifest):
     node = manifest[path]
     if _GEMLITE_TAG in node:
-        sd = {k: arrays[f"{path}/{k}"] for k in node[_GEMLITE_TAG]}
+        sd = {k: arrays[f"{path}/{_esc(k)}"] for k in node[_GEMLITE_TAG]}
         layer = GemLiteLinear.__new__(GemLiteLinear)
         layer.bias = None
         layer.load_state_dict(sd)
         return layer
     if "dict" in node:
-        return {k: _unflatten(f"{path}/{k}", arrays, manifest)
+        return {k: _unflatten(f"{path}/{_esc(k)}", arrays, manifest)
                 for k in node["dict"]}
     if "list" in node:
         return [_unflatten(f"{path}/{i}", arrays, manifest)

@@ -136,9 +136,55 @@ def reset_config():
     GEMLITE_TPU_CONFIG_CACHE = {}
 
 
+_DEFAULT_CONFIG_DONE = False
+
+
+def ensure_default_config():
+    """Load the shipped per-chip table on FIRST KERNEL DISPATCH (not import:
+    ``jax.devices()`` force-initializes the backend, which would defeat lazy
+    backend selection for processes that only want host-side utilities).
+    Entries already present (e.g. a user ``load_config``) are never
+    overwritten."""
+    global _DEFAULT_CONFIG_DONE
+    if _DEFAULT_CONFIG_DONE:
+        return
+    _DEFAULT_CONFIG_DONE = True
+    try:
+        path = _find_default_config_path()
+        if path is None:
+            return
+        with _FILE_LOCK, open(path, "r") as f:
+            config = json.load(f)
+        for name, entries in config.items():
+            fam = GEMLITE_TPU_CONFIG_CACHE.setdefault(name, {})
+            for sig, cfg in entries.items():
+                fam.setdefault(sig, cfg)
+        logger.warning("Loaded %s config.", path)
+    except Exception:  # pragma: no cover - never fail dispatch on a table
+        pass
+
+
+def _find_default_config_path():
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind.lower().replace(" ", "_")
+    except Exception:
+        return None
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+    if not os.path.isdir(root):
+        return None
+    tags = sorted((f.split(".")[0] for f in os.listdir(root) if f.endswith(".json")),
+                  key=len, reverse=True)
+    for tag in tags:
+        if tag in kind:
+            return os.path.join(root, tag + ".json")
+    return None
+
+
 def load_default_config():
-    """Auto-load the shipped per-TPU-generation config at import, matched by
-    device kind substring (analogue of reference core.py:634-654)."""
+    """Eagerly load the shipped per-TPU-generation config, matched by device
+    kind substring (analogue of reference core.py:634-654)."""
     import jax
 
     try:

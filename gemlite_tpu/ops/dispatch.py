@@ -10,7 +10,8 @@ shapes/modes outside the kernel's constraints.
 import jax.numpy as jnp
 
 from ..core import GEMLITE_KERNEL_REGISTRY, LayerMeta
-from ..config import KernelConfig, config_signature, lookup_config
+from ..config import (KernelConfig, config_signature, ensure_default_config,
+                      lookup_config)
 from ..dtypes import DType
 from ..utils import m_bucket
 from .reference import forward_ref
@@ -72,6 +73,7 @@ def _make_family_kernel(family: str):
     bm_pref = _FAMILY_BM[family]
 
     def impl(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
+        ensure_default_config()
         M = x.shape[0]
         N, K = meta.out_features, meta.in_features
         sig = config_signature(

@@ -176,6 +176,13 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         # the 3D layout keeps gs as a full minor axis, so no in-kernel
         # lane-split reshape is needed and ANY group size >= 8*n_planes works
         xg = x_ref[...]                            # (c, bm, gs)
+        if plane_dtype == jnp.float16:
+            # 8-bit codes need fp16's 10-bit mantissa (1024 + code exact),
+            # but fp16 ACTIVATIONS would overflow at |x| > 65504 (LLM outlier
+            # activations approach this) — so x stays bf16 and the dot runs
+            # in f32, exact for both operands (matches the prefill kernel).
+            bg = bg.astype(jnp.float32)
+            xg = xg.astype(jnp.float32)
         raw = jax.lax.dot_general(
             xg, bg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (c, bm, bn)
@@ -364,9 +371,9 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
                and meta.elements_per_sample == 4)
-    # W8 integer codes use the fp16 exponent trick -> fp16 dot operands
-    compute = jnp.float16 if (meta.W_nbits == 8 and not mx_fp8w) else jnp.bfloat16
-    xq = permute_x_for_planes(x.astype(compute), meta.W_nbits, gs)
+    # W8 integer codes use the fp16 exponent trick for the PLANES; x stays
+    # bf16 (fp16 x would overflow for |x| > 65504) and the dot runs in f32
+    xq = permute_x_for_planes(x.astype(jnp.bfloat16), meta.W_nbits, gs)
     Mp = _cdiv(M, bm) * bm
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))

@@ -90,12 +90,13 @@ def pipeline_apply(stage_params, block_fn: Callable, x, mesh: Mesh,
             # stage 0 injects microbatch t
             if t < n_microbatches:
                 buf = jnp.where(idx == 0, xs_rep[t], buf)
-            y = stage_apply(my_blocks, buf)
+            # keep the carried dtype stable: stage blocks may compute in f32
+            y = stage_apply(my_blocks, buf).astype(buf.dtype)
             # last stage completes microbatch t - (n_stages - 1)
             done = t - (n_stages - 1)
             if 0 <= done < n_microbatches:
                 outs = outs.at[done].set(
-                    jnp.where(idx == n_stages - 1, y, outs[done]))
+                    jnp.where(idx == n_stages - 1, y, outs[done]).astype(outs.dtype))
             if t < T - 1:
                 buf = jax.lax.ppermute(
                     y, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)])

@@ -147,6 +147,13 @@ class ContinuousBatchingEngine:
     # host-side scheduler
     # ------------------------------------------------------------------
     def submit(self, request: Request):
+        n = int(np.asarray(request.prompt_tokens).reshape(-1).shape[0])
+        if n == 0:
+            raise ValueError("empty prompt")
+        if n >= self.cfg.max_seq_len:
+            raise ValueError(
+                f"prompt length {n} >= max_seq_len {self.cfg.max_seq_len}; "
+                "the cache has no room for generated tokens")
         self.queue.append(request)
 
     @property
@@ -167,6 +174,14 @@ class ContinuousBatchingEngine:
                 continue
             req = self.queue.pop(0)
             prompt = np.asarray(req.prompt_tokens, np.int32).reshape(-1)
+            if len(prompt) > self.buckets[-1] and not self.prefill_chunk:
+                # longer than the largest one-shot bucket: auto-chunk (the
+                # chunked path prefills buckets[-1] tokens per engine step)
+                self.slot_req[slot] = req
+                self.slot_len[slot] = 0
+                self.slot_out[slot] = []
+                self.slot_pending[slot] = prompt
+                continue
             if self.prefill_chunk and len(prompt) > self.prefill_chunk:
                 # chunked admission: claim the slot; chunks advance in step()
                 self.slot_req[slot] = req
@@ -188,8 +203,9 @@ class ContinuousBatchingEngine:
             self._maybe_finish(slot, tok)
 
     def _advance_prefills(self):
-        """Process one prompt chunk per mid-prefill slot (chunked mode)."""
-        C = self.prefill_chunk
+        """Process one prompt chunk per mid-prefill slot (chunked mode, or
+        auto-chunked admission of prompts longer than the largest bucket)."""
+        C = self.prefill_chunk or self.buckets[-1]
         for slot in range(self.max_batch):
             pend = self.slot_pending[slot]
             if pend is None:
