@@ -27,7 +27,9 @@ def dequantize_full(W_q, scales, zeros, meta: LayerMeta, dtype=jnp.bfloat16):
         from .mx import mx_dequantize_weight_ref
         return mx_dequantize_weight_ref(W_q, scales, meta).astype(dtype)
     from .ops.reference import unpack_rows_ref, dequantize_ref
-    b = unpack_rows_ref(W_q, meta.W_nbits, meta.elements_per_sample, meta.in_features)
+    b = unpack_rows_ref(W_q, meta.W_nbits, meta.elements_per_sample, meta.in_features,
+                        w_layout=getattr(meta, "w_layout", 0),
+                        group_size=meta.group_size, input_dtype=meta.input_dtype)
     b = dequantize_ref(
         b, scales if meta.W_group_mode in (2, 3, 4) else None,
         zeros if meta.W_group_mode in (1, 3, 4) else None,

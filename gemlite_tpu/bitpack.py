@@ -31,6 +31,8 @@ __all__ = [
     "pack_weights_over_rows",
     "unpack_over_cols",
     "unpack_over_rows",
+    "fold_codes_for_planes",
+    "unfold_codes_for_planes",
 ]
 
 
@@ -108,6 +110,52 @@ def unpack_over_rows(W_q_packed, W_nbits: int, num_output_rows: int, dtype=jnp.u
     v = jnp.asarray(W_q_packed).astype(jnp.int32)[:, None, :]
     out = ((v >> shifts) & mask).astype(dtype).reshape(num_output_rows, cols)
     return out
+
+
+# --- pack-time plane folding (w_layout=1) -----------------------------------
+#
+# The Pallas plane kernels (ops/pallas_decode.py) extract halfword plane j of
+# each int32 word via ``(w >> j*W_nbits) & mask`` and stack the P = 16/W_nbits
+# planes per fold unit, which imposes the within-unit contraction order
+# u = j*t + r (t = F/P rows per plane).  Under reference LSB-first packing
+# that order is a permutation of natural k, historically fixed by permuting x
+# at EVERY forward (permute_x_for_planes).  Folding applies the inverse
+# permutation to the CODES once at pack time instead, so the kernel's natural
+# stacking order becomes ascending-k and x ships unpermuted:
+#
+#   slot u = j*t + r of fold unit g reads packed element g*F + r*P + j,
+#   so   codes_folded[g*F + r*P + j] = codes_natural[g*F + j*t + r].
+
+
+def fold_codes_for_planes(codes, n_planes: int, fold_gs: int):
+    """Permute (N, K) codes along K so the plane kernels contract in natural
+    k order (w_layout=1). ``n_planes`` = 16 // W_nbits for sub-byte codes,
+    2 for byte codes (fp8/W8)."""
+    xp = np if isinstance(codes, np.ndarray) else jnp
+    n, k = codes.shape
+    t = fold_gs // n_planes
+    return xp.swapaxes(
+        codes.reshape(n, k // fold_gs, n_planes, t), 2, 3).reshape(n, k)
+
+
+def unfold_codes_for_planes(codes, n_planes: int, fold_gs: int):
+    """Inverse of fold_codes_for_planes (recover natural/reference order)."""
+    xp = np if isinstance(codes, np.ndarray) else jnp
+    n, k = codes.shape
+    t = fold_gs // n_planes
+    return xp.swapaxes(
+        codes.reshape(n, k // fold_gs, t, n_planes), 2, 3).reshape(n, k)
+
+
+def unfold_rows_for_planes(b, n_planes: int, fold_gs: int):
+    """unfold_codes_for_planes for the kernel-facing (K, N) orientation
+    (rows = K). Used by the oracle to recover natural row order after
+    unpacking a w_layout=1 matrix."""
+    xp = np if isinstance(b, np.ndarray) else jnp
+    k, n = b.shape
+    t = fold_gs // n_planes
+    return xp.swapaxes(
+        b.reshape(k // fold_gs, t, n_planes, n), 1, 2).reshape(k, n)
 
 
 # --- numpy twins (host-side checkpoint conversion without touching devices) ---

@@ -126,6 +126,11 @@ class LayerMeta(NamedTuple):
     # fp8-weight code flavor for MXFP8 layers: 0 = default (e4m3),
     # DType.FP8e5.value when the packed bytes are e5m2 bit patterns
     w_code_dtype: int = 0
+    # packed-word code order: 0 = reference LSB-first (bit-compatible with
+    # /root/reference/gemlite/bitpack.py), 1 = plane-folded (codes permuted at
+    # pack time so the Pallas plane kernels contract in natural k order and x
+    # needs NO per-call permutation; see bitpack.fold_codes_for_planes)
+    w_layout: int = 0
 
     @property
     def meta_args(self):
@@ -254,6 +259,7 @@ class GemLiteLinear:
         self.zero_is_scalar = False
         self.packing_bitwidth = None
         self.w_code_dtype = 0
+        self.w_layout = 0
 
     # ------------------------------------------------------------------
     # pack(): offline weight preparation + dequant-mode decision tree.
@@ -295,10 +301,12 @@ class GemLiteLinear:
                                  if W_q.dtype == jnp.float8_e5m2 else 0)
             W_q = jax.lax.bitcast_convert_type(W_q, jnp.uint8)
             packing_bitwidth = 32
+        codes_2d = None
         if W_q.dtype == jnp.uint8:
             # packed low-bit path: (N, K) uint8 -> (K // elems, N) ints
+            codes_2d = W_q.reshape(self.orig_shape)
             self.W_q, self.elements_per_sample = pack_weights_over_cols(
-                W_q.reshape(self.orig_shape), self.W_nbits, packing_bitwidth, transpose=True
+                codes_2d, self.W_nbits, packing_bitwidth, transpose=True
             )
             if contiguous is None:
                 contiguous = not is_mx_dtype(self.input_dtype)
@@ -407,6 +415,68 @@ class GemLiteLinear:
             self.meta_dtype = JAX_TO_DTYPE[jnp.dtype(self.scales.dtype)] \
                 if jnp.dtype(self.scales.dtype) in JAX_TO_DTYPE else self.meta_dtype
 
+        # --- plane-fold the packed codes (w_layout=1) when the fast Pallas
+        # plane kernels can serve this layer: the in-kernel plane stacking then
+        # contracts in natural k order and x ships unpermuted (the pack-time
+        # replacement for the per-call permute_x_for_planes; see bitpack.py)
+        self.w_layout = 0
+        fold_gs = self._plane_fold_unit(packing_bitwidth)
+        if fold_gs is not None and codes_2d is not None:
+            from .bitpack import fold_codes_for_planes
+            n_planes = 2 if self.W_nbits == 8 else 16 // self.W_nbits
+            self.W_q, _ = pack_weights_over_cols(
+                fold_codes_for_planes(codes_2d, n_planes, fold_gs),
+                self.W_nbits, packing_bitwidth, transpose=True)
+            self.w_layout = 1
+
+        return self
+
+    def _plane_fold_unit(self, packing_bitwidth: int):
+        """Fold unit F for w_layout=1, or None when the plane kernels cannot
+        serve this layer (then the reference LSB-first layout is kept so the
+        general kernel / oracle apply directly)."""
+        K, N = self.in_features, self.out_features
+        if packing_bitwidth != 32 or K is None or N is None:
+            return None
+        if self.W_group_mode not in (1, 2, 3, 4) or self.channel_scale_mode == 4:
+            return None
+        if self.W_nbits not in (1, 2, 4, 8):
+            return None
+        if is_mx_dtype(self.input_dtype):
+            # MXFP4/NVFP4 fp4 codes and MXFP8 fp8-bit codes take the plane
+            # paths; NVFP4 (gs=16) folds on the pair-fused 32-element build
+            if self.W_nbits not in (4, 8):
+                return None
+            F = 32 if self.input_dtype == DType.NVFP4 else self.group_size
+        elif 1 < self.group_size < K:
+            F = self.group_size
+            if F > 512:
+                return None  # fold unit must not exceed the kernel k-block
+        else:
+            F = 512  # channel-wise: fixed fold unit (= kernel group unit)
+        n_planes = 2 if self.W_nbits == 8 else 16 // self.W_nbits
+        if K % F or F % n_planes or (F // n_planes) % 8:
+            return None
+        if N % 128 or K % 128:
+            return None
+        return F
+
+    def to_reference_layout(self):
+        """Rewrite the packed weights back to the reference LSB-first order
+        (w_layout=0) in place — for exporting reference-compatible
+        checkpoints or driving the general kernel directly."""
+        if not getattr(self, "w_layout", 0):
+            return self
+        from .bitpack import (fold_codes_for_planes, unfold_codes_for_planes,
+                              unpack_over_rows)
+        K = self.in_features
+        n_planes = 2 if self.W_nbits == 8 else 16 // self.W_nbits
+        fold_gs = self._plane_fold_unit(self.packing_bitwidth or 32)
+        codes = unpack_over_rows(self.W_q, self.W_nbits, K).T  # (N, K)
+        codes = unfold_codes_for_planes(codes, n_planes, fold_gs)
+        self.W_q, _ = pack_weights_over_cols(
+            codes, self.W_nbits, self.packing_bitwidth or 32, transpose=True)
+        self.w_layout = 0
         return self
 
     # ------------------------------------------------------------------
@@ -437,6 +507,7 @@ class GemLiteLinear:
             zero_is_scalar=int(self.zero_is_scalar),
             packing_bitwidth=self.packing_bitwidth or 32,
             w_code_dtype=getattr(self, "w_code_dtype", 0),
+            w_layout=getattr(self, "w_layout", 0),
         )
 
     def forward_manual(self, x, matmul_type: str = "GEMM"):
@@ -468,6 +539,8 @@ class GemLiteLinear:
             sd["bias"] = np.asarray(self.bias)
         if getattr(self, "w_code_dtype", 0):
             sd["w_code_dtype"] = np.asarray(self.w_code_dtype, dtype=np.int32)
+        if getattr(self, "w_layout", 0):
+            sd["w_layout"] = np.asarray(self.w_layout, dtype=np.int32)
         return sd
 
     def load_state_dict(self, state_dict):
@@ -496,6 +569,8 @@ class GemLiteLinear:
         self.zero_is_scalar = self.zeros is not None and self.zeros.ndim == 0
         self.bias = jnp.asarray(sd["bias"]) if "bias" in sd else None
         self.w_code_dtype = int(np.asarray(sd["w_code_dtype"])) if "w_code_dtype" in sd else 0
+        # absent in reference-produced state dicts -> reference layout (0)
+        self.w_layout = int(np.asarray(sd["w_layout"])) if "w_layout" in sd else 0
         self.packing_bitwidth = 32
         if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4) \
            and self.scales is not None and self.scales.dtype != jnp.uint8:
@@ -542,6 +617,7 @@ class GemLiteLinear:
         layer.zero_is_scalar = bool(meta.zero_is_scalar)
         layer.packing_bitwidth = meta.packing_bitwidth
         layer.w_code_dtype = meta.w_code_dtype
+        layer.w_layout = meta.w_layout
         layer.compute_dtype = to_jax_dtype(layer.input_dtype)
         layer.signature = (layer.in_features, layer.out_features, layer.W_nbits, layer.group_size)
         return layer

@@ -150,14 +150,22 @@ def fake_quant_activations(x, input_dtype: DType, compute_dtype=jnp.bfloat16):
 def mx_dequantize_weight_ref(W_q_packed, scales, meta: LayerMeta):
     """Packed MX weights -> full (K, N) float32 matrix."""
     K = meta.in_features
+
+    def _unfold(codes, n_planes):
+        if not getattr(meta, "w_layout", 0):
+            return codes
+        from .bitpack import unfold_rows_for_planes
+        F = 32 if DType(meta.input_dtype) == DType.NVFP4 else meta.group_size
+        return unfold_rows_for_planes(codes, n_planes, F)
+
     if meta.W_nbits == 4:
         from .bitpack import unpack_over_rows
-        codes = unpack_over_rows(W_q_packed, 4, K)  # (K, N) uint8 codes
+        codes = _unfold(unpack_over_rows(W_q_packed, 4, K), 4)  # (K, N) codes
         vals = fp4_dequant(codes)
     elif W_q_packed.dtype == jnp.int32:
         # fp8 bits packed 4-per-int32 (core.pack MXFP8 path)
         from .bitpack import unpack_over_rows
-        codes = unpack_over_rows(W_q_packed, 8, K)  # (K, N) uint8 bit patterns
+        codes = _unfold(unpack_over_rows(W_q_packed, 8, K), 2)  # fp8 bit rows
         fp8 = (jnp.float8_e5m2 if meta.w_code_dtype == DType.FP8e5.value
                else jnp.float8_e4m3fn)
         vals = jax.lax.bitcast_convert_type(codes, fp8).astype(jnp.float32)

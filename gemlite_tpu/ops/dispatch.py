@@ -45,6 +45,7 @@ def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
         acc_dtype=meta.acc_dtype,
         meta_dtype=meta.meta_dtype,
         zero_is_scalar=bool(meta.zero_is_scalar),
+        w_layout=getattr(meta, "w_layout", 0),
     )
 
 

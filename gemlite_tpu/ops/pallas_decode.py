@@ -120,7 +120,7 @@ def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, fma_zeros,
                  out_jdtype, bm, bn, bk, gs, real_gs, n_k,
-                 w_codec=None, scale_codec=None):
+                 w_codec=None, scale_codec=None, x_batch_middle=False):
     """gs here is the effective group size clamped to [n_planes, bk];
     real_gs is the layer's group size (used to index the meta strips when a
     k-step covers only part of one group, i.e. bk < real_gs)."""
@@ -172,10 +172,16 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
 
         # ---- raw group dots on the MXU --------------------------------
-        # x arrives pre-shaped (G, Mp, gs) (plane-major within each group):
-        # the 3D layout keeps gs as a full minor axis, so no in-kernel
-        # lane-split reshape is needed and ANY group size >= 8*n_planes works
-        xg = x_ref[...]                            # (c, bm, gs)
+        # x arrives 3D with gs as a full minor axis (no in-kernel lane-split
+        # reshape; ANY group size >= 8*n_planes works):
+        #   w_layout=1 (folded): (Mp, G, gs) natural order — a free host-side
+        #   reshape; the tiny (bm, c, gs) block is swapped to batch-leading
+        #   in-kernel (tpu.matmul needs batch dims in the same position).
+        #   w_layout=0: (G, Mp, gs) plane-major, host-permuted + transposed.
+        if x_batch_middle:
+            xg = jnp.swapaxes(x_ref[...], 0, 1)    # (bm, c, gs) -> (c, bm, gs)
+        else:
+            xg = x_ref[...]                        # (c, bm, gs)
         if plane_dtype == jnp.float16:
             # 8-bit codes need fp16's 10-bit mantissa (1024 + code exact),
             # but fp16 ACTIVATIONS would overflow at |x| > 65504 (LLM outlier
@@ -270,6 +276,15 @@ def permute_x_for_planes(x, W_nbits: int, gs_eff: int):
 
 def _effective_gs(meta, K: int, bk: int) -> int:
     gs = meta.group_size
+    if getattr(meta, "w_layout", 0):
+        # folded layout: the fold unit chosen at pack time IS the kernel
+        # group unit (core.GemLiteLinear._plane_fold_unit)
+        from ..dtypes import is_mx_dtype
+        if is_mx_dtype(DType(meta.input_dtype)) and gs == 16:
+            return 16  # NVFP4: prefill overrides to the pair-fused 32 build
+        if 1 < gs < K:
+            return gs
+        return 512  # channel-wise fold unit
     if gs <= 1 or gs >= K:
         return bk  # channel-wise / no grouping: one "group" per k-step
     return min(gs, bk)
@@ -329,24 +344,30 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
 
 
 def select_decode_config(meta, M, N, K) -> KernelConfig:
-    """Measured-on-v5e defaults: wide N block, bk ~= 1024, bm = padded M."""
+    """Measured-on-v5e defaults (scripts/probe_fold3.py):
+
+    folded layout: narrow-n deep-k — (bn=1024, bk=4096) ran the A16W4
+    gs=128 4096^2 M=1 full path at 13.96us/677 GB/s vs 15.2+ for the
+    wide-n shallow-k orders; the streaming ceiling probe gave ~687 GB/s.
+    reference layout: wide N block, bk ~= 1024 (old robust-timed order)."""
     bm = 8
     while bm < min(M, 64):
         bm *= 2
-    bn = 0
-    # robust-timed order on v5e (16.7 / 16.9 / 17.7 us at 4096^2 A16W4)
-    for cand in (2048, 1024, 4096, 512, 256, 128):
-        if N % cand == 0:
-            bn = cand
-            break
-    gs = meta.group_size if 1 < meta.group_size < K else K
+    folded = bool(getattr(meta, "w_layout", 0))
+    bn_order = (1024, 2048, 512, 4096, 256, 128) if folded \
+        else (2048, 1024, 4096, 512, 256, 128)
+    bn = next((c for c in bn_order if N % c == 0), 0)
+    bk_order = (4096, 2048, 1024, 512, 256, 128) if folded \
+        else (1024, 2048, 512, 4096, 256, 128)
     bk = 0
-    for cand in (1024, 2048, 512, 4096, 256, 128):
+    for cand in bk_order:
         if K % cand or cand % 128:
             continue
-        gse = min(gs, cand)
+        gse = _effective_gs(meta, K, cand)
         if cand % gse:
             continue
+        if folded and bn and cand * bn * 2 > 12 * 1024 * 1024:
+            continue  # bound the stacked-plane VMEM buffer
         bk = cand
         break
     return KernelConfig(block_m=bm, block_n=bn, block_k=bk)
@@ -371,17 +392,27 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
                and meta.elements_per_sample == 4)
+    folded = bool(getattr(meta, "w_layout", 0))
     # W8 integer codes use the fp16 exponent trick for the PLANES; x stays
     # bf16 (fp16 x would overflow for |x| > 65504) and the dot runs in f32
-    xq = permute_x_for_planes(x.astype(jnp.bfloat16), meta.W_nbits, gs)
-    Mp = _cdiv(M, bm) * bm
+    xq = x.astype(jnp.bfloat16)
+    if not folded:
+        xq = permute_x_for_planes(xq, meta.W_nbits, gs)
+    if folded and M == 1:
+        bm = Mp = 1  # no M padding: the M=1 hot path is ZERO XLA-side ops
+    else:
+        Mp = _cdiv(M, bm) * bm
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
         if scales_x is not None and meta.channel_scale_mode in (2, 3):
             scales_x = jnp.pad(scales_x, ((0, Mp - M), (0, 0)))
-    # (Mp, K) -> (G_eff, Mp, gs): gs stays a full minor axis (any size)
+    # 3D view with gs as a full minor axis (any size):
+    #   folded:    (Mp, G_eff, gs) — a FREE reshape, natural k order
+    #   reference: (G_eff, Mp, gs) — plane-major permuted + transposed
     G_eff = K // gs
-    xq = xq.reshape(Mp, G_eff, gs).transpose(1, 0, 2)
+    xq = xq.reshape(Mp, G_eff, gs)
+    if not folded:
+        xq = xq.transpose(1, 0, 2)
 
     has_scales = scales is not None and (
         meta.W_group_mode in (2, 3, 4) or meta.channel_scale_mode in (1, 3))
@@ -405,9 +436,14 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
                 scales = scales.astype(jnp.float32)
 
     c_blk = bk // gs
+    if folded:
+        x_spec = pl.BlockSpec((bm, c_blk, gs), lambda j, k: (0, k, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((c_blk, bm, gs), lambda j, k: (k, 0, 0),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((c_blk, bm, gs), lambda j, k: (k, 0, 0),
-                     memory_space=pltpu.VMEM),
+        x_spec,
         pl.BlockSpec((bk // meta.elements_per_sample, bn), lambda j, k: (k, j),
                      memory_space=pltpu.VMEM),
     ]
@@ -452,6 +488,7 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         real_gs=meta.group_size if 1 < meta.group_size < K else bk,
         n_k=n_k,
         w_codec=w_codec, scale_codec=scale_codec,
+        x_batch_middle=folded,
     )
 
     cost = pl.CostEstimate(

@@ -210,6 +210,12 @@ def can_use_pallas(meta, M, N, K, cfg: KernelConfig) -> bool:
     """Shape/config constraints for the fused kernel; otherwise oracle."""
     if meta.channel_scale_mode == 4:  # MX path handled separately
         return False
+    if getattr(meta, "w_layout", 0):
+        # folded (plane-order) weights: this kernel unpacks assuming the
+        # reference LSB-first order; folded layers are guaranteed servable by
+        # the plane kernels (pack-time _plane_fold_unit checks), and the
+        # oracle unfolds for anything else
+        return False
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     if not bn or not bk or N % bn or K % bk:
         return False

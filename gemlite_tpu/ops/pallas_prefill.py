@@ -54,7 +54,8 @@ __all__ = ["pallas_prefill_matmul", "can_use_prefill_kernel",
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, out_jdtype,
                  bm, bn, bk, gs, real_gs, n_k, n_m,
-                 w_codec=None, scale_codec=None, pair_fused=False):
+                 w_codec=None, scale_codec=None, pair_fused=False,
+                 folded=False):
     n_planes = 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
@@ -113,14 +114,21 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         def _():
             w = w_ref[...]
             if pair_fused:
-                # NVFP4 gs=16: build on fused 32-blocks (t_rows = 8), scale
-                # on the (c, P, pair, t/2, bn) view. Plane row s of build
-                # block q holds k = 32q + 4s + j, so the pair axis is s // 4.
+                # NVFP4 gs=16: build on fused 32-blocks (t_rows = 8), scales
+                # per real 16-group applied on a 5-D view of the plane stack.
+                #   reference layout: slot (j, s) holds k = 32q + 4s + j
+                #                     -> the pair axis is s // 4
+                #   folded layout:    slot (j, s) holds k = 32q + 8j + s
+                #                     -> the pair axis is j // 2
                 planes = _fp4_planes(w, n_planes, c, t_rows, bn)
                 v = jnp.stack(planes, axis=1)               # (c, P, 8, bn)
                 s3 = meta_rows(s_ref)                       # (2c, 1, bn)
-                sv = s3.reshape(c, 1, 2, 1, bn)
-                v5 = v.reshape(c, n_planes, 2, t_rows // 2, bn)
+                if folded:
+                    sv = s3.reshape(c, 2, 1, 1, bn)
+                    v5 = v.reshape(c, 2, n_planes // 2, t_rows, bn)
+                else:
+                    sv = s3.reshape(c, 1, 2, 1, bn)
+                    v5 = v.reshape(c, n_planes, 2, t_rows // 2, bn)
                 b = v5.astype(jnp.float32) * sv
                 bscr[...] = b.astype(jnp.bfloat16).reshape(bk, bn)
                 return
@@ -299,7 +307,12 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
                and meta.elements_per_sample == 4)
-    xq = permute_x_for_planes(x.astype(jnp.bfloat16), meta.W_nbits, gs)
+    xq = x.astype(jnp.bfloat16)
+    if not getattr(meta, "w_layout", 0):
+        # reference layout: the dequant cache rows are in plane-stack order,
+        # matched by permuting x; folded layers (w_layout=1) are already in
+        # natural k order so x ships as-is
+        xq = permute_x_for_planes(xq, meta.W_nbits, gs)
     Mp = _cdiv(M, bm) * bm
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
@@ -370,6 +383,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         real_gs=meta.group_size if 1 < meta.group_size < K else bk,
         n_k=n_k, n_m=n_m,
         w_codec=w_codec, scale_codec=scale_codec, pair_fused=pair_fused,
+        folded=bool(getattr(meta, "w_layout", 0)),
     )
 
     cost = pl.CostEstimate(

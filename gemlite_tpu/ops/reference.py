@@ -28,17 +28,31 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..dtypes import DType, to_jax_dtype
-from ..bitpack import unpack_over_rows
+from ..dtypes import DType, is_mx_dtype, to_jax_dtype
+from ..bitpack import unfold_rows_for_planes, unpack_over_rows
 
-__all__ = ["dequantize_ref", "forward_ref", "unpack_rows_ref"]
+__all__ = ["dequantize_ref", "forward_ref", "unpack_rows_ref", "plane_fold_unit"]
 
 
-def unpack_rows_ref(W_q_packed, W_nbits: int, elements_per_sample: int, out_rows: int):
-    """Unpack a (Kp, N) packed matrix to (K, N) uint8 in original row order."""
+def plane_fold_unit(W_nbits: int, group_size: int, K: int, input_dtype) -> int:
+    """Fold unit F of a w_layout=1 layer (mirrors core._plane_fold_unit)."""
+    if is_mx_dtype(input_dtype):
+        return 32 if DType(input_dtype) == DType.NVFP4 else group_size
+    return group_size if 1 < group_size < K else 512
+
+
+def unpack_rows_ref(W_q_packed, W_nbits: int, elements_per_sample: int, out_rows: int,
+                    w_layout: int = 0, group_size: int = 0, input_dtype=DType.BF16):
+    """Unpack a (Kp, N) packed matrix to (K, N) uint8 in original row order
+    (w_layout=1 matrices are unfolded back to natural/reference order)."""
     if elements_per_sample == 1:
         return W_q_packed
-    return unpack_over_rows(W_q_packed, W_nbits, out_rows)
+    b = unpack_over_rows(W_q_packed, W_nbits, out_rows)
+    if w_layout:
+        n_planes = 2 if W_nbits == 8 else 16 // W_nbits
+        F = plane_fold_unit(W_nbits, group_size, out_rows, input_dtype)
+        b = unfold_rows_for_planes(b, n_planes, F)
+    return b
 
 
 def _broadcast_group_meta(meta, K: int):
@@ -107,6 +121,7 @@ def forward_ref(
     acc_dtype: int,
     meta_dtype: int,
     zero_is_scalar: bool = False,
+    w_layout: int = 0,
 ):
     """Oracle fused forward: out = channel_scale(x @ dequant(unpack(W_q))).
 
@@ -122,7 +137,9 @@ def forward_ref(
     meta_jdtype = to_jax_dtype(meta_dtype)
     K = x.shape[-1]
 
-    b = unpack_rows_ref(W_q_packed, W_nbits, elements_per_sample, K)
+    b = unpack_rows_ref(W_q_packed, W_nbits, elements_per_sample, K,
+                        w_layout=w_layout, group_size=group_size,
+                        input_dtype=input_dtype)
     b = dequantize_ref(
         b, scales, zeros,
         W_group_mode=W_group_mode,

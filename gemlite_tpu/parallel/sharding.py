@@ -54,8 +54,9 @@ def check_shard_alignment(layer: GemLiteLinear, tp: int, mode: str):
     if mode == "column":
         assert meta.out_features % tp == 0, \
             f"out_features {meta.out_features} not divisible by tp={tp}"
-        assert meta.out_features // tp % 128 == 0 or meta.out_features // tp >= 128, \
-            f"column shard {meta.out_features // tp} too small for the TPU lane width"
+        assert meta.out_features // tp % 128 == 0, \
+            f"column shard {meta.out_features // tp} must be a multiple of " \
+            f"the TPU lane width (128)"
     elif mode == "row":
         Kp = layer.W_q.shape[0]
         assert Kp % tp == 0, f"packed K rows {Kp} not divisible by tp={tp}"
@@ -64,6 +65,11 @@ def check_shard_alignment(layer: GemLiteLinear, tp: int, mode: str):
         if 1 < gs < meta.in_features:
             assert K_shard % gs == 0, \
                 f"K shard {K_shard} must be a multiple of group_size {gs}"
+        elif getattr(meta, "w_layout", 0):
+            # channel-wise folded layout: shards must contain whole 512-code
+            # fold units (core._plane_fold_unit) or the per-shard unfold breaks
+            assert K_shard % 512 == 0, \
+                f"K shard {K_shard} must be a multiple of the 512 fold unit"
         if layer.scales is not None and layer.scales.ndim == 2 and layer.scales.shape[0] > 1:
             assert layer.scales.shape[0] % tp == 0, \
                 "scales group rows must divide evenly across shards"

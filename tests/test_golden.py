@@ -117,7 +117,9 @@ def test_golden_dequant_bit_exact(case):
                                       golden_folded.view(np.uint16))
 
     # (c) dequantized weights bit-exact vs the torch formulas
-    b = unpack_rows_ref(layer.W_q, W_nbits, layer.elements_per_sample, K)
+    b = unpack_rows_ref(layer.W_q, W_nbits, layer.elements_per_sample, K,
+                        w_layout=layer.meta.w_layout, group_size=gs,
+                        input_dtype=layer.meta.input_dtype)
     ours_deq = dequantize_ref(
         b, layer.scales, layer.zeros,
         W_group_mode=layer.W_group_mode,

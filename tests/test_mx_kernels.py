@@ -75,9 +75,11 @@ class TestE5M2Weights:
 
     def _dense_ref(self, layer, x):
         import jax
-        from gemlite_tpu.bitpack import unpack_over_rows
+        from gemlite_tpu.bitpack import unfold_rows_for_planes, unpack_over_rows
         K = layer.in_features
         codes = unpack_over_rows(layer.W_q, 8, K)  # (K, N) bit patterns
+        if layer.meta.w_layout:
+            codes = unfold_rows_for_planes(codes, 2, layer.group_size)
         vals = np.asarray(jax.lax.bitcast_convert_type(
             codes, jnp.float8_e5m2).astype(jnp.float32))
         s_bits = np.asarray(layer.scales, np.uint8).astype(np.uint32) << 23

@@ -128,7 +128,10 @@ def test_a4w4_nvfp_dynamic():
 def test_mx_pallas_matches_oracle():
     """The Pallas MX kernel must agree with the jnp MX oracle tightly."""
     from gemlite_tpu.ops.pallas_gemm import pallas_fused_matmul, select_default_config, can_use_pallas
-    layer = A16W4_MXFP(dtype=jnp.bfloat16).from_linear(FloatLinear(), del_orig=False)
+    # the general kernel unpacks the reference LSB-first layout, so unfold
+    # the (now default) plane-folded packing first
+    layer = A16W4_MXFP(dtype=jnp.bfloat16).from_linear(
+        FloatLinear(), del_orig=False).to_reference_layout()
     meta = layer.meta
     M, K, N = 4, IN_FEATURES, OUT_FEATURES
     x = _x(M)
