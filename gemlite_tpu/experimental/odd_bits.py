@@ -8,10 +8,18 @@ W5 = 1-bit + 4-bit; the kernel reconstructs ``b = (b_hi << 1) | b_lo``
 (A16W3_gemm.py:129-139) before the usual (b - z) * s dequant.
 
 TPU design: both planes are packed with the standard LSB-first int32 engine
-(bitpack.py) and the reconstruction + dequant + matmul runs as one fused XLA
-computation. Like the reference, this is not wired into the core dispatch —
-it is an API-parity capability with its own mini layer class
-(A16W3_gemm.py:180-248).
+(bitpack.py) in the plane-FOLDED order (w_layout=1, bitpack.py) — the hi
+plane on group_size units, the lo plane on fixed 128-code units — so the
+fused Pallas kernels stream both planes and reconstruct the code in ONE bf16
+fma per element: 2*(128+hi) + (128+lo) - 256 = 128 + code, which drops
+straight into the raw-dot correction (decode) / dequant-cache build (prefill)
+of the main kernels (ops/pallas_decode.py, ops/pallas_prefill.py). HBM
+traffic is 3 (5) bits per weight — the point of odd-bit storage, which the
+reference achieves with a fused Triton kernel and this port matches with a
+fused Pallas path instead of an XLA dequant stub.
+
+Like the reference, this is not wired into the core dispatch — it is an
+API-parity capability with its own mini layer class (A16W3_gemm.py:180-248).
 """
 
 from typing import Optional
@@ -20,7 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bitpack import pack_weights_over_cols, unpack_over_cols
+from ..bitpack import (
+    fold_codes_for_planes,
+    pack_weights_over_cols,
+    unpack_over_cols,
+)
+from ..core import LayerMeta
 from ..dtypes import DType, to_jax_dtype
 
 __all__ = ["OddBitLinear", "A16W3", "A16W5"]
@@ -44,6 +57,15 @@ class OddBitLinear:
         self.input_dtype = input_dtype
         self.output_dtype = output_dtype
         self.W_lo = self.W_hi = self.scales = self.zeros = self.bias = None
+        self.fused = False
+
+    # ------------------------------------------------------------------
+    def _can_fuse(self) -> bool:
+        K, N, gs = self.in_features, self.out_features, self.group_size
+        P_hi = 16 // self.high_bits
+        return (K % 128 == 0 and N % 128 == 0 and K % gs == 0
+                and 1 < gs < K and gs <= 512
+                and gs % P_hi == 0 and (gs // P_hi) % 8 == 0)
 
     def pack(self, W_q, scales, zeros, bias=None):
         """W_q: (N, K) uint8 codes in [0, 2^W_nbits)."""
@@ -52,6 +74,12 @@ class OddBitLinear:
             self.out_features, self.in_features = W_q.shape
         lo = W_q & ((1 << self.low_bits) - 1)
         hi = W_q >> self.low_bits
+        self.fused = self._can_fuse()
+        if self.fused:
+            # plane-folded order so the fused kernels contract in natural k:
+            # hi on group_size units, lo on fixed 128-code units
+            hi = fold_codes_for_planes(hi, 16 // self.high_bits, self.group_size)
+            lo = fold_codes_for_planes(lo, 16, 128)
         self.W_lo, self.elems_lo = pack_weights_over_cols(
             lo, self.low_bits, 32, transpose=True)
         self.W_hi, self.elems_hi = pack_weights_over_cols(
@@ -61,11 +89,76 @@ class OddBitLinear:
         self.bias = None if bias is None else jnp.asarray(bias)
         return self
 
+    # ------------------------------------------------------------------
+    @property
+    def _hi_meta(self) -> LayerMeta:
+        """Kernel-facing metadata describing the HIGH plane; the kernels
+        reconstruct code = (hi << 1) | lo in the same offset domain."""
+        return LayerMeta(
+            scaled_activations=0,
+            W_nbits=self.high_bits,
+            group_size=self.group_size,
+            unpack_mask=(1 << self.high_bits) - 1,
+            elements_per_sample=32 // self.high_bits,
+            input_dtype=self.input_dtype.value,
+            output_dtype=self.output_dtype.value,
+            acc_dtype=DType.FP32.value,
+            meta_dtype=DType.FP32.value,
+            channel_scale_mode=0,
+            W_group_mode=3,                     # (code - z) * s
+            data_contiguous=1,
+            in_features=self.in_features,
+            out_features=self.out_features,
+            zero_is_scalar=0,
+            packing_bitwidth=32,
+            w_layout=1,
+        )
+
     def __call__(self, x):
+        squeeze = x.ndim == 1
+        x2 = x.reshape(-1, x.shape[-1])
+        if self.fused:
+            out = self._forward_fused(x2)
+        else:
+            out = self._forward_xla(x2)
+        if self.bias is not None:
+            out = out + self.bias
+        return out[0] if squeeze else out
+
+    def _forward_fused(self, x):
+        from ..ops.pallas_decode import (can_use_decode_kernel,
+                                         pallas_decode_matmul,
+                                         select_decode_config)
+        from ..ops.pallas_prefill import (can_use_prefill_kernel,
+                                          pallas_prefill_matmul,
+                                          select_prefill_config)
+        meta = self._hi_meta
+        M = x.shape[0]
+        N, K = self.out_features, self.in_features
+        if M <= 64:
+            cfg = select_decode_config(meta, M, N, K)
+            if can_use_decode_kernel(meta, M, N, K, cfg):
+                return pallas_decode_matmul(x, self.W_hi, self.scales,
+                                            self.zeros, None, meta, cfg,
+                                            W_lo=self.W_lo)
+        cfg = select_prefill_config(meta, M, N, K)
+        if can_use_prefill_kernel(meta, M, N, K, cfg):
+            return pallas_prefill_matmul(x, self.W_hi, self.scales,
+                                         self.zeros, None, meta, cfg,
+                                         W_lo=self.W_lo)
+        return self._forward_xla(x)
+
+    def _forward_xla(self, x):
+        """Unfused fallback (reference-order planes): XLA dequant + matmul."""
         K, N = self.in_features, self.out_features
+        from ..bitpack import unfold_codes_for_planes
         # packed arrays are (K // elems, N); unpack in (N, K) orientation
         lo = unpack_over_cols(self.W_lo.T, self.low_bits, K)
         hi = unpack_over_cols(self.W_hi.T, self.high_bits, K)
+        if self.fused:
+            lo = unfold_codes_for_planes(lo, 16, 128)
+            hi = unfold_codes_for_planes(hi, 16 // self.high_bits,
+                                         self.group_size)
         b = (hi.astype(jnp.int32) << self.low_bits) | lo.astype(jnp.int32)
         gs = self.group_size
         G = K // gs
@@ -76,8 +169,7 @@ class OddBitLinear:
         cj = to_jax_dtype(self.input_dtype)
         out = jnp.dot(x.astype(cj), W.T.astype(cj),
                       preferred_element_type=jnp.float32)
-        out = out.astype(to_jax_dtype(self.output_dtype))
-        return out + self.bias if self.bias is not None else out
+        return out.astype(to_jax_dtype(self.output_dtype))
 
     forward = __call__
 

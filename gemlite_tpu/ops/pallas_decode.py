@@ -117,10 +117,24 @@ def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
     return planes
 
 
+def _odd_lo_planes(wlo, bk, bn):
+    """1-bit low plane for odd bit-widths (W3/W5): 16 halfword planes built
+    on fixed 128-code fold units -> (bk, bn) bf16 values 128 + lo, natural
+    k order (the lo codes are pack-time folded with n_planes=16, F=128)."""
+    c2 = bk // 128
+    planes = [
+        pltpu.bitcast(((wlo >> j) & 0x00010001) | MAGIC16,
+                      jnp.bfloat16).reshape(c2, 8, bn)
+        for j in range(16)
+    ]
+    return jnp.stack(planes, axis=1).reshape(c2, 128, bn)
+
+
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, fma_zeros,
                  out_jdtype, bm, bn, bk, gs, real_gs, n_k,
-                 w_codec=None, scale_codec=None, x_batch_middle=False):
+                 w_codec=None, scale_codec=None, x_batch_middle=False,
+                 odd_lo=False):
     """gs here is the effective group size clamped to [n_planes, bk];
     real_gs is the layer's group size (used to index the meta strips when a
     k-step covers only part of one group, i.e. bk < real_gs)."""
@@ -139,6 +153,9 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         i = 0
         x_ref = refs[i]; i += 1
         w_ref = refs[i]; i += 1
+        wlo_ref = None
+        if odd_lo:
+            wlo_ref = refs[i]; i += 1
         s_ref = z_ref = sx_ref = None
         if has_scales:
             s_ref = refs[i]; i += 1
@@ -170,6 +187,15 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 for j in range(n_planes)
             ]
         bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
+        if odd_lo:
+            # odd bit-width (W3/W5): bg holds 128 + hi; combine with the
+            # 1-bit low plane as code = (hi << 1) | lo, keeping the standard
+            # +128 offset: (2*(128+hi) - 256) + (128+lo) = 128 + code.
+            # ORDER MATTERS: bf16 integers are exact only below 256, so the
+            # 256 must come off BEFORE adding the low plane (2*bg is even ->
+            # exact; 2*hi + 128 + lo < 256 -> exact).
+            vlo = _odd_lo_planes(wlo_ref[...], bk, bn).reshape(c, gs, bn)
+            bg = (bg * jnp.bfloat16(2.0) - jnp.bfloat16(256.0)) + vlo
 
         # ---- raw group dots on the MXU --------------------------------
         # x arrives 3D with gs as a full minor axis (no in-kernel lane-split
@@ -344,21 +370,20 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
 
 
 def select_decode_config(meta, M, N, K) -> KernelConfig:
-    """Measured-on-v5e defaults (scripts/probe_fold3.py):
+    """Measured-on-v5e defaults (scripts/probe_fold3.py, probe_bench_ab.py):
 
-    folded layout: narrow-n deep-k — (bn=1024, bk=4096) ran the A16W4
-    gs=128 4096^2 M=1 full path at 13.96us/677 GB/s vs 15.2+ for the
-    wide-n shallow-k orders; the streaming ceiling probe gave ~687 GB/s.
-    reference layout: wide N block, bk ~= 1024 (old robust-timed order)."""
+    At A16W4 gs=128 4096^2 M=1 the top three folded orders — (2048, 1024),
+    (1024, 2048), (1024, 4096) — all land at 13.4-15.8us across sessions with
+    the tunnel's timing noise; (2048, 1024) has the best interleaved-repeat
+    median (~14.0us / ~690 GB/s vs a ~687 GB/s measured streaming ceiling)
+    and is the default for both layouts."""
     bm = 8
     while bm < min(M, 64):
         bm *= 2
     folded = bool(getattr(meta, "w_layout", 0))
-    bn_order = (1024, 2048, 512, 4096, 256, 128) if folded \
-        else (2048, 1024, 4096, 512, 256, 128)
+    bn_order = (2048, 1024, 4096, 512, 256, 128)
     bn = next((c for c in bn_order if N % c == 0), 0)
-    bk_order = (4096, 2048, 1024, 512, 256, 128) if folded \
-        else (1024, 2048, 512, 4096, 256, 128)
+    bk_order = (1024, 2048, 512, 4096, 256, 128)
     bk = 0
     for cand in bk_order:
         if K % cand or cand % 128:
@@ -375,8 +400,13 @@ def select_decode_config(meta, M, N, K) -> KernelConfig:
 
 def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
                          cfg: Optional[KernelConfig] = None,
-                         interpret: Optional[bool] = None):
-    """out[M, N] = channel_scale(x @ dequant(W_q)) via the plane raw-dot kernel."""
+                         interpret: Optional[bool] = None,
+                         W_lo=None):
+    """out[M, N] = channel_scale(x @ dequant(W_q)) via the plane raw-dot kernel.
+
+    ``W_lo``: optional 1-bit low plane (K//32, N) int32 for odd bit-widths
+    (W3/W5, experimental/odd_bits.py) — meta then describes the HIGH plane
+    and the dequantized code is (hi << 1) | lo."""
     M, K = x.shape
     N = meta.out_features
     if cfg is None:
@@ -448,6 +478,10 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
                      memory_space=pltpu.VMEM),
     ]
     args = [xq, W_q]
+    if W_lo is not None:
+        in_specs.append(pl.BlockSpec((bk // 32, bn), lambda j, k: (k, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(W_lo)
 
     if has_scales:
         if meta.channel_scale_mode in (1, 3):
@@ -489,6 +523,7 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         n_k=n_k,
         w_codec=w_codec, scale_codec=scale_codec,
         x_batch_middle=folded,
+        odd_lo=W_lo is not None,
     )
 
     cost = pl.CostEstimate(

@@ -55,7 +55,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, out_jdtype,
                  bm, bn, bk, gs, real_gs, n_k, n_m,
                  w_codec=None, scale_codec=None, pair_fused=False,
-                 folded=False):
+                 folded=False, odd_lo=False):
     n_planes = 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
@@ -73,6 +73,9 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         i = 0
         x_ref = refs[i]; i += 1
         w_ref = refs[i]; i += 1
+        wlo_ref = None
+        if odd_lo:
+            wlo_ref = refs[i]; i += 1
         s_ref = z_ref = sx_ref = None
         if has_scales:
             s_ref = refs[i]; i += 1
@@ -146,6 +149,14 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                     for j in range(n_planes)
                 ]
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # codes+OFFSET
+                if odd_lo:
+                    # odd bit-width: code = (hi << 1) | lo with the standard
+                    # +128 offset; the -256 must precede the low-plane add
+                    # (bf16 integers are exact only below 256 — see
+                    # pallas_decode)
+                    from .pallas_decode import _odd_lo_planes
+                    vlo = _odd_lo_planes(wlo_ref[...], bk, bn).reshape(c, gs, bn)
+                    v = (v * jnp.bfloat16(2.0) - jnp.bfloat16(256.0)) + vlo
             if W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
                 # true-value planes: block scale only
                 b = v.astype(jnp.float32) * meta_rows(s_ref)
@@ -288,7 +299,8 @@ def select_prefill_config(meta, M, N, K) -> KernelConfig:
 
 def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
                           cfg: Optional[KernelConfig] = None,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          W_lo=None):
     M, K = x.shape
     N = meta.out_features
     if cfg is None:
@@ -345,6 +357,10 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
                      lambda j, k, m: (k, j), memory_space=pltpu.VMEM),
     ]
     args = [xq, W_q]
+    if W_lo is not None:
+        in_specs.append(pl.BlockSpec((bk // 32, bn), lambda j, k, m: (k, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(W_lo)
     if has_scales:
         if meta.channel_scale_mode in (1, 3):
             in_specs.append(pl.BlockSpec((1, bn), lambda j, k, m: (0, j),
@@ -384,6 +400,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         n_k=n_k, n_m=n_m,
         w_codec=w_codec, scale_codec=scale_codec, pair_fused=pair_fused,
         folded=bool(getattr(meta, "w_layout", 0)),
+        odd_lo=W_lo is not None,
     )
 
     cost = pl.CostEstimate(
