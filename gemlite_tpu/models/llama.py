@@ -260,9 +260,14 @@ def _attention_flash_causal(q, k, v):
     return out.swapaxes(1, 2).astype(v.dtype)
 
 
-def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
+def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
+                   t_active=None):
     """x: (B, S, H). kv: full cache (L, 2, B, T, Hkv, D) or None (no cache).
-    cache_len: length of valid cache BEFORE this call (decode offset)."""
+    cache_len: length of valid cache BEFORE this call (decode offset).
+    t_active: STATIC bound on the live cache length — decode attention reads
+    only kv[:, :t_active] (the serving engine passes the max live length
+    rounded to a bucket, so per-step attention cost tracks the live KV
+    instead of max_seq_len)."""
     B, S, H = x.shape
     h = _rms_norm(x, blk["ln_attn"], cfg.norm_eps)
     q = _apply(blk["attn"]["wq"], h).reshape(B, S, cfg.num_heads, cfg.head_dim)
@@ -284,6 +289,10 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
             kv = jax.lax.dynamic_update_slice(
                 kv, v[None, None].astype(kv.dtype), (layer_idx, 1, 0, cache_len, 0, 0))
         k_all, v_all = kv[layer_idx, 0], kv[layer_idx, 1]
+        if t_active is not None and t_active < k_all.shape[1]:
+            # static slice: attention reads only the live-KV bucket
+            k_all = k_all[:, :t_active]
+            v_all = v_all[:, :t_active]
         T = k_all.shape[1]
         t_idx = jnp.arange(T)[None, None, :]
         if per_slot:
@@ -317,7 +326,7 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len):
 
 
 def llama_forward(params, cfg: LlamaConfig, tokens, kv=None, cache_len=0,
-                  positions=None, sequence_parallel_axis=None):
+                  positions=None, sequence_parallel_axis=None, t_active=None):
     """tokens (B, S) -> logits (B, S, V). With kv, updates the cache at
     cache_len and attends over it (prefill: cache_len=0; decode: S==1).
 
@@ -340,7 +349,8 @@ def llama_forward(params, cfg: LlamaConfig, tokens, kv=None, cache_len=0,
 
     x = sp(x)
     for i, blk in enumerate(params["blocks"]):
-        x, kv = _block_forward(blk, cfg, x, positions, kv, i, cache_len)
+        x, kv = _block_forward(blk, cfg, x, positions, kv, i, cache_len,
+                               t_active=t_active)
         x = sp(x)
     x = _rms_norm(x, params["ln_f"], cfg.norm_eps)
     logits = _apply(params["lm_head"], x)
@@ -356,12 +366,14 @@ def llama_decode_step(params, cfg, token, kv, cache_len):
     return llama_forward(params, cfg, token, kv=kv, cache_len=cache_len)
 
 
-def llama_decode_step_batched(params, cfg, token, kv, cache_lens):
+def llama_decode_step_batched(params, cfg, token, kv, cache_lens,
+                              t_active=None):
     """Continuous-batching decode: token (B, 1), cache_lens (B,) int32 —
-    every slot advances by one token at its own cache offset."""
+    every slot advances by one token at its own cache offset. t_active (a
+    STATIC int) bounds the attention read to the live-KV bucket."""
     positions = cache_lens[:, None].astype(jnp.int32)
     return llama_forward(params, cfg, token, kv=kv, cache_len=cache_lens,
-                         positions=positions)
+                         positions=positions, t_active=t_active)
 
 
 # ---------------------------------------------------------------------------

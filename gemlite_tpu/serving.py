@@ -93,9 +93,19 @@ class ContinuousBatchingEngine:
         self.queue: List[Request] = []
         self.finished: List[GenerationResult] = []
 
+        # decode attention reads only the live-KV bucket (t_active static ->
+        # one compiled program per power-of-two bucket, like prefill buckets)
+        self.decode_buckets = []
+        b = 256
+        while b < cfg.max_seq_len:
+            self.decode_buckets.append(b)
+            b *= 2
+        self.decode_buckets.append(cfg.max_seq_len)
+
         self._prefill_jit = jax.jit(self._prefill_impl)
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl)
-        self._decode_jit = jax.jit(self._decode_impl)
+        self._decode_jit = jax.jit(self._decode_impl,
+                                   static_argnames=("t_active",))
 
     # ------------------------------------------------------------------
     # jitted device functions
@@ -126,15 +136,17 @@ class ContinuousBatchingEngine:
         last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
         return last[:, 0, :], kv
 
-    def _decode_impl(self, params, tokens, kv, cache_lens, active, key, temps):
+    def _decode_impl(self, params, tokens, kv, cache_lens, active, key, temps,
+                     t_active=None):
         """One batched decode step. tokens (B, 1); cache_lens (B,);
-        active (B,) bool; temps (B,). Returns (next_tokens (B,), kv, key)."""
+        active (B,) bool; temps (B,); t_active static live-KV bucket.
+        Returns (next_tokens (B,), kv, key)."""
         from .models.llama import llama_decode_step_batched
 
         # inactive slots write their k/v at their (stale) cache_lens row and
         # never advance; the row is overwritten on (re)admission.
         logits, kv = llama_decode_step_batched(params, self.cfg, tokens, kv,
-                                               cache_lens)
+                                               cache_lens, t_active=t_active)
         logits = logits[:, 0, :].astype(jnp.float32)          # (B, V)
         key, sub = jax.random.split(key)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -266,9 +278,12 @@ class ContinuousBatchingEngine:
         temps = np.array([
             (r.temperature if r is not None else 0.0)
             for r in self.slot_req], np.float32)
+        # live-KV bucket: the longest active slot's next position, rounded up
+        t_act = _next_bucket(int(lens[active].max()) + 1, self.decode_buckets)
         nxt, self.kv, self.key = self._decode_jit(
             self.params, tokens, self.kv, jnp.asarray(lens),
-            jnp.asarray(active), self.key, jnp.asarray(temps))
+            jnp.asarray(active), self.key, jnp.asarray(temps),
+            t_active=t_act)
         nxt = np.asarray(nxt)
         for slot in range(self.max_batch):
             if not active[slot]:

@@ -141,3 +141,30 @@ def test_chunked_prefill_matches_whole_prefill(model):
     got_short = next(r for r in results if r.prompt_tokens == short_p)
     assert got_long.output_tokens == want_long
     assert got_short.output_tokens == want_short
+
+
+def test_bucketed_decode_matches_full_attention():
+    """t_active-bounded decode must produce the same tokens as full-cache
+    attention (the live bucket covers every valid position)."""
+    import jax
+    import jax.numpy as jnp
+    from gemlite_tpu.models.llama import (init_kv_cache,
+                                          llama_decode_step_batched)
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, head_dim=32, max_seq_len=64)
+    params = quantize_llama(init_llama(cfg, seed=0), W_nbits=4, group_size=32)
+    B = 2
+    kv = init_kv_cache(cfg, B)
+    rng = np.random.default_rng(0)
+    # seed the caches with a few prefix positions
+    lens = jnp.asarray([5, 9], jnp.int32)
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 1)), jnp.int32)
+    full_logits, kv_full = llama_decode_step_batched(params, cfg, tok, kv, lens)
+    buck_logits, kv_buck = llama_decode_step_batched(params, cfg, tok, kv, lens,
+                                                     t_active=16)
+    np.testing.assert_allclose(np.asarray(full_logits, np.float32),
+                               np.asarray(buck_logits, np.float32),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(kv_full), np.asarray(kv_buck))
