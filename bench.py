@@ -35,19 +35,21 @@ def detect_roofline(default=819.0):
     return default
 
 
-def timed_slope(fn, x, n1, n2, repeats=3):
-    """Per-iteration seconds via two chained-loop lengths (overhead cancels)."""
+def timed_slope(fn, x, n1, n2, repeats=6):
+    """Per-iteration seconds via two chained-loop lengths (overhead cancels).
+
+    Each iteration feeds the output back into the input (N == K here), the
+    same dependency pattern as consecutive layers of a real model — one
+    residual-style op per iteration, nothing an XLA scheduler could hoist."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
     def loop(x, n):
-        def body(i, c):
-            xx = jnp.maximum(x, c - jnp.asarray(1e30, x.dtype))
-            y = fn(xx)
-            return y.astype(jnp.float32).ravel()[0] * 1e-12
-        return lax.fori_loop(0, n, body, jnp.float32(0))
+        def body(i, xx):
+            return x + fn(xx) * jnp.asarray(1e-30, x.dtype)
+        return jnp.sum(lax.fori_loop(0, n, body, x).astype(jnp.float32))
 
     float(loop(x, n2))  # compile + warm
     best = {}

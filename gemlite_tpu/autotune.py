@@ -38,7 +38,9 @@ VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def _candidate_grid(effort: str, M, N, K, group_size):
-    """(block_m, block_n, block_k) candidates by effort level."""
+    """(block_m, block_n, block_k) candidates by effort level. The 'fast'
+    grids are the measured-good regions on v5e (scripts/probe_fold3.py,
+    probe_bench_ab.py, probe_prefill_tail*.py); 'max' sweeps wider."""
     if M == 1:
         bms = [8]
     elif M <= 64:
@@ -46,14 +48,19 @@ def _candidate_grid(effort: str, M, N, K, group_size):
     else:  # prefill: whole-M blocks measured best on v5e up to 2048
         bms = sorted({min(b, 2048) for b in (128, 256, 512, M)
                       if b >= 128 and b <= max(128, M)})
+        if effort != "max":
+            bms = [min(2048, max(128, M))]
     if effort == "max":
         bns = [256, 512, 1024, 2048, 4096]
         bks = [128, 256, 512, 1024, 2048, 4096]
-    else:  # fast
-        bns = [512, 1024, 2048, 4096]
-        bks = [512, 1024, 2048, 4096]
-    bns = [b for b in bns if N % b == 0]
-    bks = [b for b in bks if K % b == 0]
+    elif M > 64:  # fast prefill: narrow-n deep-k region
+        bns = [256, 512, 1024]
+        bks = [2048, 4096, 1024]
+    else:         # fast decode: the top-3 folded orders + fallbacks
+        bns = [1024, 2048, 512]
+        bks = [1024, 2048, 4096]
+    bns = [b for b in bns if N % b == 0] or [b for b in (256, 128) if N % b == 0]
+    bks = [b for b in bks if K % b == 0] or [b for b in (512, 256, 128) if K % b == 0]
     return [KernelConfig(bm, bn, bk)
             for bm, bn, bk in itertools.product(bms, bns, bks)]
 
@@ -166,20 +173,26 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
 
 def autotune_shapes(shapes, processor=None, W_nbits=4, group_size=128,
                     batch_sizes=(1, 8, 32, 128, 512), effort=None,
-                    verbose=False):
+                    verbose=False, input_dtype=None):
     """Autotune a list of (out_features, in_features) shapes with synthetic
     weights; the warmup-time entry point (reference helper.py:1068-1119
-    warmup + cache_config)."""
+    warmup + cache_config). ``input_dtype``: DType.BF16 (default) for
+    weight-only INT layers, or an MX dtype (MXFP4/NVFP4/MXFP8) to tune the
+    microscaling formats (their type ids key separate cache entries)."""
     from .core import GemLiteLinear
 
     rng = np.random.default_rng(0)
     all_results = {}
     for (N, K) in shapes:
-        W_q = rng.integers(0, 2**W_nbits, size=(N, K)).astype(np.uint8)
-        G = N * K // group_size
-        scales = (rng.uniform(0.5, 1.5, size=(G, 1)) * 2.0**-8).astype(np.float32)
-        zeros = rng.integers(0, 2**W_nbits, size=(G, 1)).astype(np.float32)
-        layer = GemLiteLinear(W_nbits, group_size, K, N,
-                              DType.BF16, DType.BF16).pack(W_q, scales, zeros)
+        if input_dtype is not None and is_mx_dtype(input_dtype):
+            from .mx import mxfp_quantize_layer_for_autotune
+            layer = mxfp_quantize_layer_for_autotune(N, K, input_dtype, rng)
+        else:
+            W_q = rng.integers(0, 2**W_nbits, size=(N, K)).astype(np.uint8)
+            G = N * K // group_size
+            scales = (rng.uniform(0.5, 1.5, size=(G, 1)) * 2.0**-8).astype(np.float32)
+            zeros = rng.integers(0, 2**W_nbits, size=(G, 1)).astype(np.float32)
+            layer = GemLiteLinear(W_nbits, group_size, K, N,
+                                  DType.BF16, DType.BF16).pack(W_q, scales, zeros)
         all_results.update(autotune_layer(layer, batch_sizes, effort, verbose))
     return all_results

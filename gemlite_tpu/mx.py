@@ -143,6 +143,19 @@ def fake_quant_activations(x, input_dtype: DType, compute_dtype=jnp.bfloat16):
     return out.reshape(orig_shape).astype(compute_dtype)
 
 
+def mxfp_quantize_layer_for_autotune(N, K, input_dtype, rng=None):
+    """Synthetic MX layer for the autotuner: quantize random weights to the
+    given MX format and pack with that input_dtype (its type id keys the
+    cache entries)."""
+    rng = rng or np.random.default_rng(0)
+    d = DType(input_dtype) if not isinstance(input_dtype, DType) else input_dtype
+    W = jnp.asarray(rng.normal(size=(N, K)) * 0.02, jnp.float32)
+    W_nbits = 8 if d == DType.MXFP8 else 4
+    W_q, scales = mxfp_quantize_weight(W, W_nbits, nvfp4=(d == DType.NVFP4))
+    return pack_mxfp_layer(W_q, scales, W_nbits, dtype=jnp.bfloat16,
+                           input_dtype=d)
+
+
 # ---------------------------------------------------------------------------
 # Oracle MX forward (tests + fallback)
 # ---------------------------------------------------------------------------

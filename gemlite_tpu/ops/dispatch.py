@@ -7,6 +7,7 @@ kernel (ops/pallas_gemm.py) with the jnp oracle as a universal fallback for
 shapes/modes outside the kernel's constraints.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..core import GEMLITE_KERNEL_REGISTRY, LayerMeta
@@ -60,6 +61,31 @@ def autotune_type_id(meta: LayerMeta) -> int:
     return d * 100 + meta.W_nbits
 
 
+def _dense_fallback_matmul(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
+    """Giant-M prefill: one-pass dequant to dense bf16 + full-rate MXU dot.
+
+    The dequant pass is the Pallas streaming kernel (pallas_dequantize, the
+    prefill kernel's block build written out) when the layer qualifies, else
+    the fused-XLA dequantize_full; both fold the channel-wise weight scales
+    (csm 1/3) into the dense matrix; per-token scales (csm 2/3) apply after."""
+    from ..autograd import dequantize_full
+    from ..dtypes import to_jax_dtype
+    from .pallas_prefill import can_use_dequantize, pallas_dequantize
+
+    N, K = meta.out_features, meta.in_features
+    if can_use_dequantize(meta, N, K):
+        b = pallas_dequantize(W_q, scales, zeros, meta)                # (K, N)
+    else:
+        b = dequantize_full(W_q, scales, zeros, meta, dtype=jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if meta.channel_scale_mode in (2, 3) and scales_x is not None:
+        acc = acc * scales_x.reshape(-1, 1).astype(jnp.float32)
+    return acc.astype(to_jax_dtype(DType(meta.output_dtype)))
+
+
 # Per-family block_m preference: the regime the family name stands for.
 _FAMILY_BM = {
     "GEMV": 16,
@@ -96,12 +122,31 @@ def _make_family_kernel(family: str):
             if can_use_prefill_kernel(meta, M, N, K, pcfg):
                 return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
                                              meta, pcfg)
+        elif M >= 4096:
+            # compute-bound giant-M regime: one fused XLA dequant pass to a
+            # dense bf16 matrix (~2 bytes/weight of extra traffic) then the
+            # full-rate dense MXU matmul — measured faster than chunked
+            # Pallas beyond M ~= 4096 (scripts/probe_prefill_tail2.py)
+            return _dense_fallback_matmul(x, W_q, scales, zeros, scales_x, meta)
         else:
             # prefill regime: dequant-once cached-block kernel
             pcfg = cfg if cfg is not None else select_prefill_config(meta, M, N, K)
             if can_use_prefill_kernel(meta, M, N, K, pcfg):
                 return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
                                              meta, pcfg)
+            # very large M: the full-M accumulator / resident x block exceeds
+            # VMEM — run the kernel over static row chunks instead
+            for C in (4096, 2048, 1024):
+                if M <= C:
+                    continue
+                ccfg = cfg if cfg is not None else select_prefill_config(meta, C, N, K)
+                if can_use_prefill_kernel(meta, C, N, K, ccfg):
+                    outs = []
+                    for i in range(0, M, C):
+                        sx_c = None if scales_x is None else scales_x[i:i + C]
+                        outs.append(pallas_prefill_matmul(
+                            x[i:i + C], W_q, scales, zeros, sx_c, meta, ccfg))
+                    return jnp.concatenate(outs, axis=0)
 
         if cfg is None:
             base = select_default_config(meta, M, N, K)

@@ -48,14 +48,14 @@ from .pallas_decode import (
 )
 
 __all__ = ["pallas_prefill_matmul", "can_use_prefill_kernel",
-           "select_prefill_config"]
+           "select_prefill_config", "pallas_dequantize", "can_use_dequantize"]
 
 
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, out_jdtype,
                  bm, bn, bk, gs, real_gs, n_k, n_m,
                  w_codec=None, scale_codec=None, pair_fused=False,
-                 folded=False, odd_lo=False):
+                 folded=False, odd_lo=False, build_only=False, csm_weight=0):
     n_planes = 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
@@ -71,7 +71,9 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
 
     def kernel(*refs):
         i = 0
-        x_ref = refs[i]; i += 1
+        x_ref = None
+        if not build_only:
+            x_ref = refs[i]; i += 1
         w_ref = refs[i]; i += 1
         wlo_ref = None
         if odd_lo:
@@ -84,16 +86,21 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         if has_scales_x:
             sx_ref = refs[i]; i += 1
         o_ref = refs[i]; i += 1
-        acc_ref = refs[i]; i += 1
-        bscr = refs[i]
+        if build_only:
+            acc_ref = bscr = None
+            m = 0
+        else:
+            acc_ref = refs[i]; i += 1
+            bscr = refs[i]
+            m = pl.program_id(2)
 
         k = pl.program_id(1)
-        m = pl.program_id(2)
 
-        @pl.when(jnp.logical_and(k == 0, m == 0))
-        def _():
-            # acc persists across the whole (k, m) sweep for this j block
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+        if not build_only:
+            @pl.when(jnp.logical_and(k == 0, m == 0))
+            def _():
+                # acc persists across the whole (k, m) sweep for this j block
+                acc_ref[...] = jnp.zeros_like(acc_ref)
 
         c_meta = 2 * c if pair_fused else c
 
@@ -112,9 +119,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 mrow = mrow * 0.05
             return mrow
 
-        # ---- dequantize the weight block once per (j, k) ----------------
-        @pl.when(m == 0)
-        def _():
+        # ---- dequantize one (bk, bn) weight block -----------------------
+        def build_block():
             w = w_ref[...]
             if pair_fused:
                 # NVFP4 gs=16: build on fused 32-blocks (t_rows = 8), scales
@@ -133,8 +139,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                     sv = s3.reshape(c, 1, 2, 1, bn)
                     v5 = v.reshape(c, n_planes, 2, t_rows // 2, bn)
                 b = v5.astype(jnp.float32) * sv
-                bscr[...] = b.astype(jnp.bfloat16).reshape(bk, bn)
-                return
+                return b.astype(jnp.bfloat16).reshape(bk, bn)
             if w_codec in ("fp8w", "fp8w5"):
                 planes = _fp8_planes(w, c, t_rows, bn,
                                      e5m2=(w_codec == "fp8w5"))
@@ -184,13 +189,29 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 b = v.astype(jnp.float32) - offset
             # (c, gs, bn) -> (bk, bn): adjacent leading-dim merge, lanes
             # untouched — cheap, and done once per (j, k) block
-            bscr[...] = b.astype(jnp.bfloat16).reshape(bk, bn)
+            return b.astype(jnp.bfloat16).reshape(bk, bn)
+
+        if build_only:
+            # pallas_dequantize: write the dense block out, folding the
+            # channel-wise weight scales (csm 1/3) in like dequantize_full
+            b2 = build_block()
+            if csm_weight in (1, 3):
+                b2 = (b2.astype(jnp.float32)
+                      * s_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+            o_ref[...] = b2
+            return
+
+        @pl.when(m == 0)
+        def _():
+            bscr[...] = build_block()
 
         # ---- MXU: one full-bk contraction per m block -------------------
-        # x is plane-major-permuted per group outside the kernel, matching
-        # the scratch row order exactly.
+        # x arrives as a FULL-M (Mp, bk) block indexed only by k: constant
+        # across the (j, m) sweep, so Mosaic never re-DMAs it (re-fetching
+        # (bm, bk) blocks per j cost ~n_j * M * bk bytes and was the M>=2048
+        # tail). The m sweep slices rows in-kernel.
         acc_ref[pl.ds(m * bm, bm), :] += jax.lax.dot_general(
-            x_ref[...], bscr[...], (((1,), (0,)), ((), ())),
+            x_ref[pl.ds(m * bm, bm), :], bscr[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         # ---- epilogue on the last K step --------------------------------
@@ -207,6 +228,113 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             o_ref[...] = acc.astype(out_jdtype)
 
     return kernel
+
+
+def can_use_dequantize(meta, N, K) -> bool:
+    """pallas_dequantize serves the same layers as the prefill kernel (its
+    build path) at fixed blocks (bn=512|256, bk=gs-aligned)."""
+    from ..config import KernelConfig
+    bn = next((b for b in (512, 256, 128) if N % b == 0), 0)
+    bk = next((b for b in (2048, 1024, 512, 4096, 256, 128)
+               if K % b == 0 and b % _effective_gs(meta, K, b) == 0), 0)
+    if not bn or not bk:
+        return False
+    return can_use_prefill_kernel(meta, 8, N, K,
+                                  KernelConfig(block_m=8, block_n=bn, block_k=bk))
+
+
+def pallas_dequantize(W_q, scales, zeros, meta, interpret=None, W_lo=None):
+    """Packed weights -> dense (K, N) bf16 in ONE streaming pass (the
+    prefill kernel's dequant-cache build, written out instead of dotted).
+    Channel-wise weight scales (csm 1/3) are folded in, matching
+    autograd.dequantize_full."""
+    if interpret is None:
+        interpret = _interpret_mode()
+    N, K = meta.out_features, meta.in_features
+    bn = next(b for b in (512, 256, 128) if N % b == 0)
+    bk = next(b for b in (2048, 1024, 512, 4096, 256, 128)
+              if K % b == 0 and b % _effective_gs(meta, K, b) == 0)
+    gs = _effective_gs(meta, K, bk)
+    pair_fused = _is_pair_fused(meta, K, bk)
+    if pair_fused:
+        gs = 32
+
+    from ..dtypes import is_mx_dtype
+    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
+               and meta.elements_per_sample == 4)
+    w_codec = scale_codec = None
+    if mx_fp8w or (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 4):
+        if mx_fp8w:
+            w_codec = "fp8w5" if meta.w_code_dtype == DType.FP8e5.value else "fp8w"
+        else:
+            w_codec = "fp4"
+        if scales is not None:
+            if scales.dtype == jnp.uint8:
+                scale_codec = "e8m0"
+                scales = scales.astype(jnp.int32)
+            elif scales.dtype == jnp.float8_e4m3fn:
+                scale_codec = "nvfp4"
+                scales = scales.astype(jnp.float32)
+
+    has_scales = scales is not None and (
+        meta.W_group_mode in (2, 3, 4) or meta.channel_scale_mode in (1, 3))
+    has_zeros = zeros is not None and meta.W_group_mode in (1, 3, 4)
+    csm = meta.channel_scale_mode
+
+    # the build closure of the prefill kernel, specialized to write out
+    build = _make_kernel(
+        W_nbits=meta.W_nbits, W_group_mode=meta.W_group_mode,
+        channel_scale_mode=0, zero_is_scalar=bool(meta.zero_is_scalar),
+        has_scales=has_scales, has_zeros=has_zeros, has_scales_x=False,
+        out_jdtype=jnp.bfloat16, bm=8, bn=bn, bk=bk, gs=gs,
+        real_gs=meta.group_size if 1 < meta.group_size < K else bk,
+        n_k=K // bk, n_m=1, w_codec=w_codec, scale_codec=scale_codec,
+        pair_fused=pair_fused, folded=bool(getattr(meta, "w_layout", 0)),
+        odd_lo=W_lo is not None, build_only=True, csm_weight=csm)
+
+    in_specs = [
+        pl.BlockSpec((bk // meta.elements_per_sample, bn),
+                     lambda j, k: (k, j), memory_space=pltpu.VMEM),
+    ]
+    args = [W_q]
+    if W_lo is not None:
+        in_specs.append(pl.BlockSpec((bk // 32, bn), lambda j, k: (k, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(W_lo)
+    if has_scales:
+        if csm in (1, 3):
+            in_specs.append(pl.BlockSpec((1, bn), lambda j, k: (0, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(scales.reshape(1, N))
+        else:
+            G = scales.shape[0]
+            in_specs.append(pl.BlockSpec((G, bn), lambda j, k: (0, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(scales)
+    if has_zeros:
+        if meta.zero_is_scalar:
+            in_specs.append(pl.BlockSpec((1, 1), lambda j, k: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(zeros.reshape(1, 1).astype(jnp.float32))
+        else:
+            G = zeros.shape[0]
+            in_specs.append(pl.BlockSpec((G, bn), lambda j, k: (0, j),
+                                         memory_space=pltpu.VMEM))
+            args.append(zeros)
+
+    return pl.pallas_call(
+        build,
+        grid=(N // bn, K // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bk, bn), lambda j, k: (k, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def _is_pair_fused(meta, K: int, bk: int) -> bool:
@@ -263,11 +391,16 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
         c = (bk // 16) if pair_fused else (bk // gs)
         if 1 < c < G and c % 8:
             return False
-    # full-M accumulator + dequant scratch must fit comfortably in VMEM
+    # full-M accumulator + resident x block + dequant scratch must fit VMEM
+    # comfortably: beyond ~56MB the x double-buffer chokes Mosaic's w-block
+    # pipelining (measured: M=4096 single call 970-1160us vs 2x M=2048
+    # chunks 870us), so larger M routes through dispatch-level row chunking
     Mp = _cdiv(M, bm) * bm
     acc_bytes = Mp * bn * 4
     scr_bytes = bk * bn * 2
-    if acc_bytes + scr_bytes > 48 * 1024 * 1024:
+    x_bytes = 2 * Mp * bk * 2                   # double-buffered (Mp, bk)
+    w_bytes = 2 * (bk // meta.elements_per_sample) * bn * 4
+    if acc_bytes + scr_bytes + x_bytes + w_bytes > 56 * 1024 * 1024:
         return False
     return True
 
@@ -352,7 +485,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
                 scales = scales.astype(jnp.float32)
 
     in_specs = [
-        pl.BlockSpec((bm, bk), lambda j, k, m: (m, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Mp, bk), lambda j, k, m: (0, k), memory_space=pltpu.VMEM),
         pl.BlockSpec((bk // meta.elements_per_sample, bn),
                      lambda j, k, m: (k, j), memory_space=pltpu.VMEM),
     ]

@@ -1,12 +1,18 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Chip bandwidth calibration: XLA + Pallas streaming floors for the roofline
+report (standalone; timing helpers shared with scripts/probe_fold.py)."""
 import sys, time
-sys.argv = ["x"]
-import importlib
-p3 = importlib.import_module("scripts.perf_probe3")
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from scripts.perf_probe4 import timed_robust
+from scripts.probe_fold import timed_robust, report
+
+
+class p3:  # compat shim for the report helper
+    report = staticmethod(report)
+
+
 
 rng = np.random.default_rng(0)
 

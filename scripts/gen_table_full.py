@@ -1,0 +1,102 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Generate the full shipped autotune table for this chip.
+
+Sweeps the Llama projection shapes x {W4 gs128/gs64, W2, W8, W1, MXFP4,
+NVFP4, MXFP8} x M buckets {1..2048} with the 'fast' candidate grids and
+writes gemlite_tpu/configs/<tag>.json incrementally (safe to interrupt and
+resume: already-cached signatures are skipped unless --retune).
+
+The analogue of the reference's shipped per-GPU tables
+(/root/reference/gemlite/core.py:634-654, configs/h100.json).
+
+Usage: python scripts/gen_table_full.py [out.json] [--retune]
+"""
+import os
+import sys
+import logging
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+logging.basicConfig(level=logging.WARNING, format="%(message)s")
+
+M_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+SHAPES = [(4096, 4096), (14336, 4096), (4096, 14336), (1024, 4096),
+          (4096, 1024)]
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    import gemlite_tpu  # noqa: F401
+    from gemlite_tpu.autotune import autotune_shapes
+    from gemlite_tpu.dtypes import DType
+    from gemlite_tpu import config as cfg
+    from gemlite_tpu.config import ensure_default_config
+
+    retune = "--retune" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    kind = jax.devices()[0].device_kind.lower().replace(" ", "_")
+    tag = kind.replace("tpu_", "")
+    default_out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", "gemlite_tpu", "configs", f"{tag}.json")
+    out = args[0] if args else default_out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    # resume support: skip (shape, M, format) combos already in the file
+    # (match on the (M_bucket, N, K, gs, elems) signature prefix)
+    import json
+    from gemlite_tpu.utils import m_bucket
+    existing = set()
+    if not retune and os.path.exists(out):
+        try:
+            with open(out) as f:
+                for fam in json.load(f).values():
+                    existing.update(fam.keys())
+        except Exception:
+            pass
+
+    def sweep(label, shapes, W_nbits, gs, input_dtype=None):
+        elems = {1: 32, 2: 16, 4: 8, 8: 4}[W_nbits]
+        for shape in shapes:
+            N, K = shape
+            for M in M_BUCKETS:
+                prefix = f"({m_bucket.get_closest_m(M)}, {N}, {K}, {gs}, {elems},"
+                if any(s.startswith(prefix) for s in existing):
+                    continue
+                t0 = time.time()
+                print(f"=== {label} {shape} M={M} ===", flush=True)
+                try:
+                    autotune_shapes([shape], W_nbits=W_nbits, group_size=gs,
+                                    batch_sizes=(M,), effort="fast",
+                                    verbose=False, input_dtype=input_dtype)
+                except Exception as e:
+                    print(f"  FAILED: {str(e)[:200]}", flush=True)
+                    continue
+                cfg.cache_config(out)
+                n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
+                print(f"  -> {n} entries ({time.time()-t0:.0f}s)", flush=True)
+
+    # ordered by serving importance
+    sweep("W4 gs=128", SHAPES, 4, 128)
+    sweep("W4 gs=64", SHAPES, 4, 64)
+    sweep("W2 gs=128", [(4096, 4096), (14336, 4096), (4096, 14336)], 2, 128)
+    sweep("W8 gs=128", [(4096, 4096), (14336, 4096), (4096, 14336)], 8, 128)
+    sweep("W1 gs=128", [(4096, 4096)], 1, 128)
+    sweep("MXFP4", [(4096, 4096), (14336, 4096), (4096, 14336)], 4, 32,
+          DType.MXFP4)
+    sweep("NVFP4", [(4096, 4096), (14336, 4096), (4096, 14336)], 4, 16,
+          DType.NVFP4)
+    sweep("MXFP8", [(4096, 4096), (14336, 4096), (4096, 14336)], 8, 32,
+          DType.MXFP8)
+
+    n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
+    print(f"FINAL: {n} entries in {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

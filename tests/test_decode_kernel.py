@@ -69,7 +69,7 @@ def test_asymmetric_grouped(W_nbits, group_size, M):
         err = np.mean(np.abs(np.asarray(got, np.float32) - ref))
         err_oracle = np.mean(np.abs(np.asarray(want, np.float32) - ref))
         scale = np.mean(np.abs(ref)) + 1e-6
-        assert err / scale < 2e-2, (err / scale, err_oracle / scale)
+        assert err / scale < 5e-3, (err / scale, err_oracle / scale)
 
 
 @pytest.mark.parametrize("group_size", [64, 128])
@@ -90,7 +90,7 @@ def test_symmetric_grouped(group_size):
     ref = np.asarray(x, np.float32) @ W_deq.T
     rel = np.mean(np.abs(np.asarray(got, np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-6)
-    assert rel < 2e-2, rel
+    assert rel < 5e-3, rel
 
 
 def test_scalar_zero_shift_only():
@@ -107,7 +107,7 @@ def test_scalar_zero_shift_only():
     ref = np.asarray(x, np.float32) @ (W_q.astype(np.float32) - 1.0).T
     rel = np.mean(np.abs(np.asarray(got, np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-6)
-    assert rel < 2e-2, rel
+    assert rel < 5e-3, rel
 
 
 def test_channelwise_postscale():
@@ -127,7 +127,7 @@ def test_channelwise_postscale():
     ref = np.asarray(x, np.float32) @ W_deq.T
     rel = np.mean(np.abs(np.asarray(got, np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-6)
-    assert rel < 2e-2, rel
+    assert rel < 5e-3, rel
 
 
 def test_dispatch_routes_decode_kernel():
@@ -142,4 +142,4 @@ def test_dispatch_routes_decode_kernel():
     ref = np.asarray(x, np.float32) @ W_deq.T
     rel = np.mean(np.abs(np.asarray(y, np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-6)
-    assert rel < 2e-2, rel
+    assert rel < 5e-3, rel

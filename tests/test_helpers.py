@@ -50,7 +50,7 @@ def test_a16w8_int8():
     # dequantized ground truth
     s = np.abs(w).max(axis=1, keepdims=True) / 127.0
     W_deq = np.round(w / np.maximum(s, 1e-6)).clip(-128, 127) * s
-    assert _rel(layer(x), x.astype(jnp.float32) @ W_deq.T) < 2e-2
+    assert _rel(layer(x), x.astype(jnp.float32) @ W_deq.T) < 5e-3
 
 
 def test_a16w8_int8_post_scale():
@@ -59,7 +59,7 @@ def test_a16w8_int8_post_scale():
     assert (layer.W_group_mode, layer.channel_scale_mode) == (0, 1)
     x = _x(4)
     y_pre = A16W8_INT8().from_weights(w)(x)
-    assert _rel(layer(x), y_pre) < 2e-2
+    assert _rel(layer(x), y_pre) < 5e-3
 
 
 def test_a16w8_fp8():
@@ -78,7 +78,7 @@ def test_a16wn_hqq(proc_cls, nbits):
     assert layer.W_nbits == nbits and layer.group_size == GS
     assert layer.W_group_mode in (3, 4) and layer.channel_scale_mode == 0
     x = _x(4)
-    assert _rel(layer(x), x.astype(jnp.float32) @ W_deq.T) < 2e-2
+    assert _rel(layer(x), x.astype(jnp.float32) @ W_deq.T) < 5e-3
 
 
 def test_a8w8_int8_dynamic():
@@ -122,7 +122,7 @@ def test_bitnet_a16w158():
     assert layer.W_nbits == 2
     assert (layer.W_group_mode, layer.channel_scale_mode) == (1, 1)
     x = _x(4)
-    assert _rel(layer(x), x.astype(jnp.float32) @ (w * ws).T) < 2e-2
+    assert _rel(layer(x), x.astype(jnp.float32) @ (w * ws).T) < 5e-3
 
 
 def test_bitnet_a8w158_dynamic():

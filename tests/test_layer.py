@@ -86,7 +86,7 @@ def test_bf16xbf16():
     for batch in BATCH_SIZES:
         x = _x(batch)
         y_ref = x.astype(jnp.float32) @ jnp.asarray(W, COMPUTE_DTYPE).astype(jnp.float32).T
-        _run_all_types(layer, x, y_ref.astype(COMPUTE_DTYPE), 2e-2, batch)
+        _run_all_types(layer, x, y_ref.astype(COMPUTE_DTYPE), 5e-3, batch)
 
 
 @pytest.mark.parametrize("group_size", [GROUP_SIZE, IN_FEATURES])
@@ -106,7 +106,7 @@ def test_bf16xWn_asymmetric(group_size):
     for batch in BATCH_SIZES:
         x = _x(batch)
         y_ref = (x.astype(jnp.float32) @ jnp.asarray(Wg).T).astype(COMPUTE_DTYPE)
-        _run_all_types(layer, x, y_ref, 2e-2, batch)
+        _run_all_types(layer, x, y_ref, 5e-3, batch)
 
 
 def test_int8xWn_symmetric_no_activation_scaling():
@@ -222,4 +222,4 @@ def test_bias():
     x = _x(2)
     y = layer(x)
     y_ref = (x.astype(jnp.float32) @ jnp.asarray(W).T + bias.astype(jnp.float32))
-    assert _err(y, y_ref) < 2e-2
+    assert _err(y, y_ref) < 5e-3
