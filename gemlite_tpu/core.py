@@ -442,6 +442,12 @@ class GemLiteLinear:
             return None
         if self.W_nbits not in (1, 2, 4, 8):
             return None
+        if self.input_dtype == DType.INT8:
+            # INT8-activation layers keep the reference order: the exact
+            # int8 decode kernel (ops/pallas_int8.py) reads natural bytes /
+            # byte-planes, and the bf16 kernels still serve via the
+            # layout-0 permute path
+            return None
         if is_mx_dtype(self.input_dtype):
             # MXFP4/NVFP4 fp4 codes and MXFP8 fp8-bit codes take the plane
             # paths; NVFP4 (gs=16) folds on the pair-fused 32-element build

@@ -27,6 +27,11 @@ from .pallas_prefill import (
     select_prefill_config,
     can_use_prefill_kernel,
 )
+from .pallas_int8 import (
+    pallas_int8_decode,
+    select_int8_decode_config,
+    can_use_int8_decode,
+)
 
 
 def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
@@ -111,6 +116,13 @@ def _make_family_kernel(family: str):
 
         # decode regime: plane raw-dot kernel (fastest measured path)
         if M <= 64:
+            # INT8 activations: exact int8xint8->int32 accumulation first
+            # (reference parity: the INT kernels accumulate int32 exactly)
+            if DType(meta.input_dtype) == DType.INT8:
+                icfg = cfg if cfg is not None else select_int8_decode_config(meta, M, N, K)
+                if can_use_int8_decode(meta, M, N, K, icfg):
+                    return pallas_int8_decode(x, W_q, scales, zeros, scales_x,
+                                              meta, icfg)
             dcfg = cfg if cfg is not None else select_decode_config(meta, M, N, K)
             if can_use_decode_kernel(meta, M, N, K, dcfg):
                 return pallas_decode_matmul(x, W_q, scales, zeros, scales_x,
