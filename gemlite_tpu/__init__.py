@@ -31,6 +31,7 @@ from .config import (
     set_autotune,
     set_kernel_caching,
     cache_config,
+    config_lookup_stats,
     load_config,
     reset_config,
 )

@@ -78,6 +78,22 @@ class KernelConfig:
 # family name -> {str(signature): config dict}
 GEMLITE_TPU_CONFIG_CACHE = {}
 
+# dispatch hit-rate counters: how often a forward found a tuned entry vs
+# fell back to the block heuristics (the shipped-table coverage metric)
+CONFIG_LOOKUP_STATS = {"hits": 0, "misses": 0}
+
+
+def config_lookup_stats(reset: bool = False):
+    """Return {'hits', 'misses', 'hit_rate'} of tuned-config lookups since
+    import (or the last reset). Note: lookups happen at TRACE time, so each
+    distinct (shape, dtype) counts once per compilation, not per call."""
+    s = dict(CONFIG_LOOKUP_STATS)
+    tot = s["hits"] + s["misses"]
+    s["hit_rate"] = (s["hits"] / tot) if tot else None
+    if reset:
+        CONFIG_LOOKUP_STATS["hits"] = CONFIG_LOOKUP_STATS["misses"] = 0
+    return s
+
 
 def config_signature(M_bucket, N, K, group_size, elements_per_sample, type_id):
     """Same key structure as the reference JSON cache (core.py:74-83, 594)."""
@@ -88,10 +104,12 @@ def lookup_config(family: str, sig: str):
     if not KERNEL.ENABLE_CACHING:
         return None
     fam = GEMLITE_TPU_CONFIG_CACHE.get(family)
-    if fam is None:
+    d = fam.get(sig) if fam is not None else None
+    if d is None:
+        CONFIG_LOOKUP_STATS["misses"] += 1
         return None
-    d = fam.get(sig)
-    return KernelConfig.from_dict(d) if d is not None else None
+    CONFIG_LOOKUP_STATS["hits"] += 1
+    return KernelConfig.from_dict(d)
 
 
 def store_config(family: str, sig: str, cfg: KernelConfig):

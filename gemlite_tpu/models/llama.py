@@ -279,10 +279,12 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
     if kv is not None:
         per_slot = hasattr(cache_len, "ndim") and jnp.ndim(cache_len) == 1
         if per_slot:
-            # continuous-batching decode: S == 1, per-slot cache offsets
-            bidx = jnp.arange(B)
-            kv = kv.at[layer_idx, 0, bidx, cache_len].set(k[:, 0].astype(kv.dtype))
-            kv = kv.at[layer_idx, 1, bidx, cache_len].set(v[:, 0].astype(kv.dtype))
+            # continuous-batching decode / speculative verify: S >= 1 tokens
+            # written at per-slot cache offsets
+            bidx = jnp.arange(B)[:, None]
+            pos = cache_len[:, None] + jnp.arange(S)[None, :]
+            kv = kv.at[layer_idx, 0, bidx, pos].set(k.astype(kv.dtype))
+            kv = kv.at[layer_idx, 1, bidx, pos].set(v.astype(kv.dtype))
         else:
             kv = jax.lax.dynamic_update_slice(
                 kv, k[None, None].astype(kv.dtype), (layer_idx, 0, 0, cache_len, 0, 0))
@@ -364,6 +366,16 @@ def llama_prefill(params, cfg, tokens, kv):
 def llama_decode_step(params, cfg, token, kv, cache_len):
     """token (B, 1); cache_len traced int32 -> (logits (B, 1, V), kv)."""
     return llama_forward(params, cfg, token, kv=kv, cache_len=cache_len)
+
+
+def llama_verify_step(params, cfg, tokens, kv, cache_lens, t_active=None):
+    """Speculative verification: tokens (B, S) = [last_accepted, draft_0..g-1]
+    decoded in ONE forward at per-slot offsets; logits (B, S, V) give the
+    target model's next-token distribution after every prefix."""
+    B, S = tokens.shape
+    positions = cache_lens[:, None] + jnp.arange(S)[None, :].astype(jnp.int32)
+    return llama_forward(params, cfg, tokens, kv=kv, cache_len=cache_lens,
+                         positions=positions, t_active=t_active)
 
 
 def llama_decode_step_batched(params, cfg, token, kv, cache_lens,

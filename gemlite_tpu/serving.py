@@ -68,13 +68,23 @@ class ContinuousBatchingEngine:
 
     def __init__(self, params, cfg, max_batch: int = 8, eos_id: Optional[int] = None,
                  prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048), seed: int = 0,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 draft: Optional[tuple] = None, spec_tokens: int = 4):
         from .models.llama import init_kv_cache
 
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.eos_id = eos_id
+        # speculative decoding: draft = (draft_params, draft_cfg) of a small
+        # model sharing the tokenizer; spec_tokens = draft tokens per step
+        self.draft = draft
+        self.spec_tokens = spec_tokens if draft is not None else 0
+        if draft is not None:
+            dcfg = draft[1]
+            assert dcfg.max_seq_len >= cfg.max_seq_len, \
+                "draft max_seq_len must cover the target cache"
+            self.draft_kv = init_kv_cache(dcfg, max_batch)
         self.buckets = tuple(b for b in sorted(prefill_buckets)
                              if b <= cfg.max_seq_len)
         # chunked prefill: long prompts are prefilled prefill_chunk tokens per
@@ -106,6 +116,11 @@ class ContinuousBatchingEngine:
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl)
         self._decode_jit = jax.jit(self._decode_impl,
                                    static_argnames=("t_active",))
+        if draft is not None:
+            self._dprefill_jit = jax.jit(self._dprefill_impl)
+            self._dprefill_chunk_jit = jax.jit(self._dprefill_chunk_impl)
+            self._spec_jit = jax.jit(self._spec_impl,
+                                     static_argnames=("gamma", "t_active"))
 
     # ------------------------------------------------------------------
     # jitted device functions
@@ -135,6 +150,50 @@ class ContinuousBatchingEngine:
         kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
         last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
         return last[:, 0, :], kv
+
+    def _dprefill_impl(self, dparams, tokens, kv, slot, true_len):
+        """Draft-model slot prefill (cache only; logits discarded)."""
+        from .models.llama import llama_forward
+
+        kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
+        _, kv_slot = llama_forward(dparams, self.draft[1], tokens,
+                                   kv=kv_slot, cache_len=0)
+        return jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
+
+    def _dprefill_chunk_impl(self, dparams, tokens, kv, slot, cache_len):
+        from .models.llama import llama_forward
+
+        kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
+        _, kv_slot = llama_forward(dparams, self.draft[1], tokens,
+                                   kv=kv_slot, cache_len=cache_len)
+        return jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
+
+    def _spec_impl(self, params, dparams, tokens, kv, dkv, cache_lens,
+                   gamma, t_active=None):
+        """Greedy speculative step: the draft proposes ``gamma`` tokens
+        autoregressively, the target verifies all of them in ONE forward
+        over (B, gamma+1) positions at per-slot offsets. Greedy speculation
+        is lossless: emitted tokens equal plain greedy decoding."""
+        from .models.llama import llama_decode_step_batched, llama_verify_step
+
+        dcfg = self.draft[1]
+        drafts = []
+        tok = tokens
+        dl = cache_lens
+        for _ in range(gamma):
+            dlogits, dkv = llama_decode_step_batched(dparams, dcfg, tok, dkv,
+                                                     dl, t_active=t_active)
+            tok = jnp.argmax(dlogits[:, 0], axis=-1).astype(jnp.int32)[:, None]
+            drafts.append(tok)
+            dl = dl + 1
+        drafts = jnp.concatenate(drafts, axis=1)              # (B, g)
+        seq = jnp.concatenate([tokens, drafts], axis=1)       # (B, g+1)
+        logits, kv = llama_verify_step(params, self.cfg, seq, kv, cache_lens,
+                                       t_active=t_active)
+        tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B, g+1)
+        match = (drafts == tgt[:, :gamma]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)   # (B,)
+        return drafts, tgt, n_acc, kv, dkv
 
     def _decode_impl(self, params, tokens, kv, cache_lens, active, key, temps,
                      t_active=None):
@@ -207,6 +266,10 @@ class ContinuousBatchingEngine:
             logits, self.kv = self._prefill_jit(
                 self.params, jnp.asarray(padded), self.kv,
                 jnp.int32(slot), jnp.int32(len(prompt)))
+            if self.draft is not None:
+                self.draft_kv = self._dprefill_jit(
+                    self.draft[0], jnp.asarray(padded), self.draft_kv,
+                    jnp.int32(slot), jnp.int32(len(prompt)))
             tok = self._sample_first(req, logits)
             self.slot_req[slot] = req
             self.slot_len[slot] = len(prompt)
@@ -228,6 +291,10 @@ class ContinuousBatchingEngine:
             logits, self.kv = self._prefill_chunk_jit(
                 self.params, jnp.asarray(padded), self.kv, jnp.int32(slot),
                 jnp.int32(int(self.slot_len[slot])), jnp.int32(len(chunk)))
+            if self.draft is not None:
+                self.draft_kv = self._dprefill_chunk_jit(
+                    self.draft[0], jnp.asarray(padded), self.draft_kv,
+                    jnp.int32(slot), jnp.int32(int(self.slot_len[slot])))
             self.slot_len[slot] += len(chunk)
             if len(rest):
                 self.slot_pending[slot] = rest
@@ -278,8 +345,35 @@ class ContinuousBatchingEngine:
         temps = np.array([
             (r.temperature if r is not None else 0.0)
             for r in self.slot_req], np.float32)
+
+        # speculative burst: all active slots greedy, draft attached, and
+        # room in the cache for gamma+1 writes
+        g = self.spec_tokens
+        max_len = int(lens[active].max())
+        if (g and not (temps[active] > 0).any()
+                and max_len + g + 1 < self.cfg.max_seq_len):
+            t_act = _next_bucket(max_len + g + 1, self.decode_buckets)
+            drafts, tgt, n_acc, self.kv, self.draft_kv = self._spec_jit(
+                self.params, self.draft[0], tokens, self.kv, self.draft_kv,
+                jnp.asarray(lens), gamma=g, t_active=t_act)
+            drafts = np.asarray(drafts)
+            tgt = np.asarray(tgt)
+            n_acc = np.asarray(n_acc)
+            for slot in range(self.max_batch):
+                if not active[slot]:
+                    continue
+                na = int(n_acc[slot])
+                emitted = [int(t) for t in drafts[slot, :na]] + [int(tgt[slot, na])]
+                for tok in emitted:
+                    self.slot_out[slot].append(tok)
+                    self.slot_last[slot] = tok
+                    self._maybe_finish(slot, tok)
+                    if self.slot_req[slot] is None:  # finished mid-burst
+                        break
+            return
+
         # live-KV bucket: the longest active slot's next position, rounded up
-        t_act = _next_bucket(int(lens[active].max()) + 1, self.decode_buckets)
+        t_act = _next_bucket(max_len + 1, self.decode_buckets)
         nxt, self.kv, self.key = self._decode_jit(
             self.params, tokens, self.kv, jnp.asarray(lens),
             jnp.asarray(active), self.key, jnp.asarray(temps),

@@ -168,3 +168,51 @@ def test_bucketed_decode_matches_full_attention():
                                np.asarray(buck_logits, np.float32),
                                rtol=0, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(kv_full), np.asarray(kv_buck))
+
+
+def _mk_model(seed=0, layers=2, heads=4, hidden=128):
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=hidden,
+                           intermediate_size=2 * hidden, num_layers=layers,
+                           num_heads=heads, num_kv_heads=heads // 2,
+                           head_dim=hidden // heads, max_seq_len=64)
+    params = quantize_llama(init_llama(cfg, seed=seed), W_nbits=4, group_size=32)
+    return params, cfg
+
+
+def test_speculative_decoding_lossless():
+    """Greedy speculative decoding must emit exactly the plain greedy
+    engine's tokens (speculation is lossless under greedy acceptance)."""
+    params, cfg = _mk_model(seed=0)
+    dparams, dcfg = _mk_model(seed=1, layers=1, heads=2, hidden=64)
+
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, 128, size=n)) for n in (5, 9, 3)]
+
+    plain = ContinuousBatchingEngine(params, cfg, max_batch=4)
+    want = plain.generate(prompts, max_new_tokens=12)
+
+    spec = ContinuousBatchingEngine(params, cfg, max_batch=4,
+                                    draft=(dparams, dcfg), spec_tokens=3)
+    got = spec.generate(prompts, max_new_tokens=12)
+    assert got == want
+
+
+def test_speculative_self_draft_accepts_everything():
+    """Draft == target: every draft token is accepted, so each engine step
+    emits spec_tokens + 1 tokens (minus finish truncation)."""
+    params, cfg = _mk_model(seed=2)
+    spec = ContinuousBatchingEngine(params, cfg, max_batch=2,
+                                    draft=(params, cfg), spec_tokens=3)
+    spec.submit(Request(prompt_tokens=[1, 2, 3], max_new_tokens=9))
+    steps = 0
+    while spec.num_active or spec.queue:
+        spec.step()
+        steps += 1
+    # 9 tokens = (prefill token + burst of 4) in step 1, + burst of 4 in
+    # step 2: a plain engine needs 9 steps, the self-draft engine 2
+    assert steps == 2, steps
+
+    plain = ContinuousBatchingEngine(params, cfg, max_batch=2)
+    want = plain.generate([[1, 2, 3]], max_new_tokens=9)
+    out, spec.finished = spec.finished, []
+    assert [r.output_tokens for r in out] == want
