@@ -53,12 +53,12 @@ def _candidate_grid(effort: str, M, N, K, group_size):
     if effort == "max":
         bns = [256, 512, 1024, 2048, 4096]
         bks = [128, 256, 512, 1024, 2048, 4096]
-    elif M > 64:  # fast prefill: narrow-n deep-k region
-        bns = [256, 512, 1024]
-        bks = [2048, 4096, 1024]
-    else:         # fast decode: the top-3 folded orders + fallbacks
-        bns = [1024, 2048, 512]
-        bks = [1024, 2048, 4096]
+    elif M > 64:  # fast prefill: narrow-n deep-k region (4 candidates)
+        bns = [512, 1024]
+        bks = [4096, 2048]
+    else:         # fast decode: the top measured folded orders (4 candidates)
+        bns = [2048, 1024]
+        bks = [1024, 2048]
     bns = [b for b in bns if N % b == 0] or [b for b in (256, 128) if N % b == 0]
     bks = [b for b in bks if K % b == 0] or [b for b in (512, 256, 128) if K % b == 0]
     return [KernelConfig(bm, bn, bk)
