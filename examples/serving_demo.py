@@ -5,7 +5,7 @@ Shows the slot pool recycling, late arrivals joining running batches, and
 the batched-decode throughput accounting.
 
 Usage: python examples/serving_demo.py [--slots 4] [--requests 12]
-                                       [--prefill-chunk 32]
+                                       [--prefill-chunk 32] [--spec 4]
 """
 import argparse
 import _pathfix  # noqa: F401
@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--prefill-chunk", type=int, default=None,
                     help="chunked prefill: tokens per engine step for long "
                          "prompts (interleaved with decode of other slots)")
+    ap.add_argument("--spec", type=int, default=0,
+                    help="speculative decoding: draft tokens per step "
+                         "(attaches a 1-layer draft model)")
     args = ap.parse_args()
 
     from gemlite_tpu.models import LlamaConfig, init_llama, quantize_llama
@@ -33,9 +36,19 @@ def main():
     print(f"# {cfg.num_layers}L x {cfg.hidden_size}h W4 model, "
           f"{args.slots} slots, {args.requests} requests")
     params = quantize_llama(init_llama(cfg, seed=0), W_nbits=4, group_size=64)
+    draft = None
+    if args.spec:
+        dcfg = LlamaConfig.tiny(vocab_size=2048, hidden_size=128,
+                                intermediate_size=256, num_layers=1,
+                                num_heads=4, num_kv_heads=2, head_dim=32,
+                                max_seq_len=256)
+        draft = (quantize_llama(init_llama(dcfg, seed=1), W_nbits=4,
+                                group_size=32), dcfg)
+        print(f"# speculative: {args.spec} draft tokens/step (1L draft)")
     eng = ContinuousBatchingEngine(params, cfg, max_batch=args.slots,
                                    prefill_buckets=(16, 32, 64),
-                                   prefill_chunk=args.prefill_chunk)
+                                   prefill_chunk=args.prefill_chunk,
+                                   draft=draft, spec_tokens=args.spec)
 
     rng = np.random.default_rng(0)
     n_tok = 0
