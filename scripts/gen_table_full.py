@@ -60,39 +60,44 @@ def main():
         except Exception:
             pass
 
-    def sweep(label, shapes, W_nbits, gs, input_dtype=None):
+    def tune_one(label, shape, W_nbits, gs, M, input_dtype=None):
         elems = {1: 32, 2: 16, 4: 8, 8: 4}[W_nbits]
-        for shape in shapes:
-            N, K = shape
-            for M in M_BUCKETS:
-                prefix = f"({m_bucket.get_closest_m(M)}, {N}, {K}, {gs}, {elems},"
-                if any(s.startswith(prefix) for s in existing):
-                    continue
-                t0 = time.time()
-                print(f"=== {label} {shape} M={M} ===", flush=True)
-                try:
-                    autotune_shapes([shape], W_nbits=W_nbits, group_size=gs,
-                                    batch_sizes=(M,), effort="fast",
-                                    verbose=False, input_dtype=input_dtype)
-                except Exception as e:
-                    print(f"  FAILED: {str(e)[:200]}", flush=True)
-                    continue
-                cfg.cache_config(out)
-                n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
-                print(f"  -> {n} entries ({time.time()-t0:.0f}s)", flush=True)
+        N, K = shape
+        prefix = f"({m_bucket.get_closest_m(M)}, {N}, {K}, {gs}, {elems},"
+        if any(s.startswith(prefix) for s in existing):
+            return
+        t0 = time.time()
+        print(f"=== {label} {shape} M={M} ===", flush=True)
+        try:
+            autotune_shapes([shape], W_nbits=W_nbits, group_size=gs,
+                            batch_sizes=(M,), effort="fast",
+                            verbose=False, input_dtype=input_dtype)
+        except Exception as e:
+            print(f"  FAILED: {str(e)[:200]}", flush=True)
+            return
+        cfg.cache_config(out)
+        n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
+        print(f"  -> {n} entries ({time.time()-t0:.0f}s)", flush=True)
 
-    # ordered by serving importance
-    sweep("W4 gs=128", SHAPES, 4, 128)
-    sweep("W4 gs=64", SHAPES, 4, 64)
-    sweep("W2 gs=128", [(4096, 4096), (14336, 4096), (4096, 14336)], 2, 128)
-    sweep("W8 gs=128", [(4096, 4096), (14336, 4096), (4096, 14336)], 8, 128)
-    sweep("W1 gs=128", [(4096, 4096)], 1, 128)
-    sweep("MXFP4", [(4096, 4096), (14336, 4096), (4096, 14336)], 4, 32,
-          DType.MXFP4)
-    sweep("NVFP4", [(4096, 4096), (14336, 4096), (4096, 14336)], 4, 16,
-          DType.NVFP4)
-    sweep("MXFP8", [(4096, 4096), (14336, 4096), (4096, 14336)], 8, 32,
-          DType.MXFP8)
+    # (label, shapes, W_nbits, gs, input_dtype) ordered by serving importance
+    MLP = [(4096, 4096), (14336, 4096), (4096, 14336)]
+    COMBOS = [
+        ("W4 gs=128", SHAPES, 4, 128, None),
+        ("W4 gs=64", SHAPES, 4, 64, None),
+        ("W2 gs=128", MLP, 2, 128, None),
+        ("W8 gs=128", MLP, 8, 128, None),
+        ("W1 gs=128", [(4096, 4096)], 1, 128, None),
+        ("MXFP4", MLP, 4, 32, DType.MXFP4),
+        ("NVFP4", MLP, 4, 16, DType.NVFP4),
+        ("MXFP8", MLP, 8, 32, DType.MXFP8),
+    ]
+    # breadth-first: important M buckets across EVERY format/shape first, so
+    # an interrupted run still leaves broad coverage
+    M_PRIORITY = (1, 16, 512, 64, 8, 128, 2048, 2, 4, 32, 256, 1024)
+    for M in M_PRIORITY:
+        for (label, shapes, W_nbits, gs, dt) in COMBOS:
+            for shape in shapes:
+                tune_one(label, shape, W_nbits, gs, M, dt)
 
     n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
     print(f"FINAL: {n} entries in {out}", flush=True)
