@@ -120,6 +120,10 @@ def _make_family_kernel(family: str):
             # (reference parity: the INT kernels accumulate int32 exactly)
             if DType(meta.input_dtype) == DType.INT8:
                 icfg = cfg if cfg is not None else select_int8_decode_config(meta, M, N, K)
+                if not can_use_int8_decode(meta, M, N, K, icfg):
+                    # a table entry tuned for the bf16 kernels must not knock
+                    # out the exact path — retry with the int8 selector
+                    icfg = select_int8_decode_config(meta, M, N, K)
                 if can_use_int8_decode(meta, M, N, K, icfg):
                     return pallas_int8_decode(x, W_q, scales, zeros, scales_x,
                                               meta, icfg)
