@@ -168,32 +168,80 @@ class ContinuousBatchingEngine:
                                    kv=kv_slot, cache_len=cache_len)
         return jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
 
-    def _spec_impl(self, params, dparams, tokens, kv, dkv, cache_lens,
-                   gamma, t_active=None):
-        """Greedy speculative step: the draft proposes ``gamma`` tokens
-        autoregressively, the target verifies all of them in ONE forward
-        over (B, gamma+1) positions at per-slot offsets. Greedy speculation
-        is lossless: emitted tokens equal plain greedy decoding."""
+    @staticmethod
+    def _spec_dist(logits, temps):
+        """Per-slot proposal/verification distribution: softmax(l / T) for
+        sampled slots, a one-hot argmax for greedy (T == 0) slots — the
+        rejection rule then reduces exactly to greedy prefix matching."""
+        logits = logits.astype(jnp.float32)
+        t = jnp.maximum(temps, 1e-6)[:, None]
+        soft = jax.nn.softmax(logits / t, axis=-1)
+        hard = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1],
+                              dtype=jnp.float32)
+        return jnp.where((temps > 0)[:, None], soft, hard)
+
+    def _spec_impl(self, params, dparams, tokens, kv, dkv, cache_lens, temps,
+                   key, gamma, t_active=None):
+        """Speculative step with standard rejection sampling (Leviathan et
+        al.): the draft proposes ``gamma`` tokens from its own distribution,
+        the target verifies all of them in ONE forward over (B, gamma+1)
+        per-slot positions; token i is accepted with prob min(1, p_i/q_i)
+        and the first rejection is replaced by a sample from the residual
+        (p - q)+ — so emitted tokens are distributed exactly as target-only
+        sampling. Greedy slots (T == 0) use one-hot distributions, which
+        reduces the rule to exact greedy prefix matching (lossless)."""
         from .models.llama import llama_decode_step_batched, llama_verify_step
 
         dcfg = self.draft[1]
-        drafts = []
+        B = tokens.shape[0]
+        drafts, q_full = [], []
         tok = tokens
         dl = cache_lens
         for _ in range(gamma):
             dlogits, dkv = llama_decode_step_batched(dparams, dcfg, tok, dkv,
                                                      dl, t_active=t_active)
-            tok = jnp.argmax(dlogits[:, 0], axis=-1).astype(jnp.int32)[:, None]
+            q = self._spec_dist(dlogits[:, 0], temps)         # (B, V)
+            key, sub = jax.random.split(key)
+            sampled = jax.random.categorical(
+                sub, jnp.log(q + 1e-30), axis=-1).astype(jnp.int32)
+            greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            tok = jnp.where(temps > 0, sampled, greedy)[:, None]
             drafts.append(tok)
+            q_full.append(q)
             dl = dl + 1
         drafts = jnp.concatenate(drafts, axis=1)              # (B, g)
+        q_full = jnp.stack(q_full, axis=1)                    # (B, g, V)
+
         seq = jnp.concatenate([tokens, drafts], axis=1)       # (B, g+1)
         logits, kv = llama_verify_step(params, self.cfg, seq, kv, cache_lens,
                                        t_active=t_active)
-        tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B, g+1)
-        match = (drafts == tgt[:, :gamma]).astype(jnp.int32)
-        n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)   # (B,)
-        return drafts, tgt, n_acc, kv, dkv
+        V = logits.shape[-1]
+        p = self._spec_dist(logits.reshape(B * (gamma + 1), V),
+                            jnp.repeat(temps, gamma + 1)
+                            ).reshape(B, gamma + 1, V)        # (B, g+1, V)
+
+        p_d = jnp.take_along_axis(p[:, :gamma], drafts[..., None],
+                                  axis=2)[..., 0]             # (B, g)
+        q_d = jnp.take_along_axis(q_full, drafts[..., None], axis=2)[..., 0]
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, (B, gamma))
+        acc = (u * q_d < p_d).astype(jnp.int32)               # u < p/q
+        n_acc = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)     # (B,)
+
+        # fix token: residual (p - q)+ at the rejection position, or the
+        # target distribution itself for the bonus (all-accepted) case
+        # (q padded with a zero slice at position gamma -> residual = p)
+        qz = jnp.concatenate([q_full, jnp.zeros((B, 1, V), jnp.float32)], 1)
+        p_at = jnp.take_along_axis(p, n_acc[:, None, None], axis=1)[:, 0]
+        q_at = jnp.take_along_axis(qz, n_acc[:, None, None], axis=1)[:, 0]
+        res = jnp.clip(p_at - q_at, 0.0, None)
+        res = res + 1e-30
+        key, sub = jax.random.split(key)
+        fix_sampled = jax.random.categorical(
+            sub, jnp.log(res), axis=-1).astype(jnp.int32)
+        fix_greedy = jnp.argmax(res, axis=-1).astype(jnp.int32)
+        fix = jnp.where(temps > 0, fix_sampled, fix_greedy)   # (B,)
+        return drafts, fix, n_acc, kv, dkv, key
 
     def _decode_impl(self, params, tokens, kv, cache_lens, active, key, temps,
                      t_active=None):
@@ -346,24 +394,26 @@ class ContinuousBatchingEngine:
             (r.temperature if r is not None else 0.0)
             for r in self.slot_req], np.float32)
 
-        # speculative burst: all active slots greedy, draft attached, and
-        # room in the cache for gamma+1 writes
+        # speculative burst: draft attached and room for gamma+1 cache writes
+        # (rejection sampling preserves the target distribution for sampled
+        # slots and exact greedy for T == 0 slots)
         g = self.spec_tokens
         max_len = int(lens[active].max())
-        if (g and not (temps[active] > 0).any()
-                and max_len + g + 1 < self.cfg.max_seq_len):
+        if g and max_len + g + 1 < self.cfg.max_seq_len:
             t_act = _next_bucket(max_len + g + 1, self.decode_buckets)
-            drafts, tgt, n_acc, self.kv, self.draft_kv = self._spec_jit(
-                self.params, self.draft[0], tokens, self.kv, self.draft_kv,
-                jnp.asarray(lens), gamma=g, t_active=t_act)
+            drafts, fix, n_acc, self.kv, self.draft_kv, self.key = \
+                self._spec_jit(self.params, self.draft[0], tokens, self.kv,
+                               self.draft_kv, jnp.asarray(lens),
+                               jnp.asarray(temps), self.key,
+                               gamma=g, t_active=t_act)
             drafts = np.asarray(drafts)
-            tgt = np.asarray(tgt)
+            fix = np.asarray(fix)
             n_acc = np.asarray(n_acc)
             for slot in range(self.max_batch):
                 if not active[slot]:
                     continue
                 na = int(n_acc[slot])
-                emitted = [int(t) for t in drafts[slot, :na]] + [int(tgt[slot, na])]
+                emitted = [int(t) for t in drafts[slot, :na]] + [int(fix[slot])]
                 for tok in emitted:
                     self.slot_out[slot].append(tok)
                     self.slot_last[slot] = tok

@@ -216,3 +216,57 @@ def test_speculative_self_draft_accepts_everything():
     want = plain.generate([[1, 2, 3]], max_new_tokens=9)
     out, spec.finished = spec.finished, []
     assert [r.output_tokens for r in out] == want
+
+
+def test_engine_with_tp_sharded_params():
+    """Mesh-ready claim: the engine works unchanged when the model params are
+    tensor-parallel sharded over a device mesh, and emits the same tokens."""
+    from jax.sharding import Mesh
+    from gemlite_tpu.models.llama import shard_llama
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    params, cfg = _mk_model(seed=3)
+    rng = np.random.default_rng(1)
+    prompts = [list(rng.integers(0, 128, size=n)) for n in (6, 11)]
+
+    plain = ContinuousBatchingEngine(params, cfg, max_batch=2)
+    want = plain.generate(prompts, max_new_tokens=10)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sharded = shard_llama(params, mesh, "tp")
+    eng = ContinuousBatchingEngine(sharded, cfg, max_batch=2)
+    got = eng.generate(prompts, max_new_tokens=10)
+    assert got == want
+
+
+def test_speculative_sampled_self_draft_accepts_all():
+    """Rejection sampling with draft == target: p == q so every draft token
+    is accepted (u < 1 always) even at temperature > 0."""
+    params, cfg = _mk_model(seed=4)
+    spec = ContinuousBatchingEngine(params, cfg, max_batch=1,
+                                    draft=(params, cfg), spec_tokens=3, seed=7)
+    spec.submit(Request(prompt_tokens=[5, 6, 7], max_new_tokens=9,
+                        temperature=0.8))
+    steps = 0
+    while spec.num_active or spec.queue:
+        spec.step()
+        steps += 1
+    out = spec.finished[0].output_tokens
+    assert len(out) == 9
+    assert steps == 2, steps  # (prefill + burst of 4) then burst of 4
+    assert all(0 <= t < cfg.vocab_size for t in out)
+
+
+def test_speculative_sampled_deterministic_per_seed():
+    params, cfg = _mk_model(seed=5)
+    dparams, dcfg = _mk_model(seed=6, layers=1, heads=2, hidden=64)
+
+    def run(seed):
+        eng = ContinuousBatchingEngine(params, cfg, max_batch=1, seed=seed,
+                                       draft=(dparams, dcfg), spec_tokens=2)
+        return eng.generate([[3, 1, 4]], max_new_tokens=8, temperature=0.7)[0]
+
+    a, b, c = run(0), run(0), run(1)
+    assert a == b
+    assert all(0 <= t < cfg.vocab_size for t in a)
