@@ -51,3 +51,56 @@ def test_dispatch_routes_prefill():
     rel = np.mean(np.abs(np.asarray(y, np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-6)
     assert rel < 2e-2, rel
+
+
+def test_pallas_dequantize_matches_dequantize_full():
+    """The one-pass Pallas dequantize (giant-M dense fallback) must match
+    the fused-XLA dequantize_full to bf16 rounding across formats."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gemlite_tpu import DType, GemLiteLinear
+    from gemlite_tpu.autograd import dequantize_full
+    from gemlite_tpu.ops.pallas_prefill import (can_use_dequantize,
+                                                pallas_dequantize)
+
+    rng = np.random.default_rng(0)
+    N, K = 256, 512
+    for W_nbits, gs, fma in [(4, 128, True), (4, 64, False), (2, 64, True),
+                             (8, 128, True)]:
+        codes = rng.integers(0, 2**W_nbits, size=(N, K)).astype(np.uint8)
+        G = N * K // gs
+        scales = (rng.uniform(0.5, 1.5, (G, 1)) * 2**-8).astype(np.float32)
+        zeros = rng.integers(0, 2**W_nbits, (G, 1)).astype(np.float32)
+        layer = GemLiteLinear(W_nbits, gs, K, N, DType.BF16, DType.BF16).pack(
+            codes, scales, zeros, fma_mode=fma)
+        assert can_use_dequantize(layer.meta, N, K)
+        b_pl = pallas_dequantize(layer.W_q, layer.scales, layer.zeros, layer.meta)
+        b_ref = dequantize_full(layer.W_q, layer.scales, layer.zeros,
+                                layer.meta, dtype=jnp.bfloat16)
+        d = float(jnp.max(jnp.abs(b_pl.astype(jnp.float32)
+                                  - b_ref.astype(jnp.float32))))
+        m = float(jnp.mean(jnp.abs(b_ref.astype(jnp.float32)))) + 1e-9
+        assert d / m < 2e-3, (W_nbits, gs, d / m)
+
+
+def test_dispatch_giant_m_dense_fallback():
+    """M >= 4096 routes through the dense fallback and stays correct."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gemlite_tpu import DType, GemLiteLinear
+
+    rng = np.random.default_rng(1)
+    N, K, gs = 256, 512, 128
+    codes = rng.integers(0, 16, size=(N, K)).astype(np.uint8)
+    G = N * K // gs
+    scales = np.full((G, 1), 2.0**-8, np.float32)
+    zeros = rng.integers(0, 16, (G, 1)).astype(np.float32)
+    layer = GemLiteLinear(4, gs, K, N, DType.BF16, DType.BF16).pack(
+        codes, scales, zeros)
+    W_deq = ((codes.reshape(-1, gs) - zeros) * scales).reshape(N, K)
+    x = jnp.asarray(rng.normal(size=(4096, K)) * 0.1, jnp.bfloat16)
+    y = layer(x)
+    ref = np.asarray(x[:32], np.float32) @ W_deq.T
+    rel = np.mean(np.abs(np.asarray(y[:32], np.float32) - ref)) / \
+        (np.mean(np.abs(ref)) + 1e-9)
+    assert rel < 5e-3, rel
