@@ -35,7 +35,7 @@ def detect_roofline(default=819.0):
     return default
 
 
-def timed_slope(fn, x, n1, n2, repeats=6):
+def timed_slope(fn, x, n1, n2, repeats=8):
     """Per-iteration seconds via two chained-loop lengths (overhead cancels).
 
     Each iteration feeds the output back into the input (N == K here), the
@@ -90,7 +90,7 @@ def main():
 
     fn = lambda xx: forward_functional(xx, layer.bias, layer.get_tensor_args(),
                                        layer.meta)
-    dt = timed_slope(fn, x, 300, 1200)
+    dt = timed_slope(fn, x, 400, 1600)
 
     # bytes the kernel must stream per call: packed weights + group metadata
     wbytes = K * N // 2 + (K // gs) * N * 4 * 2 + M * K * 2 + M * N * 2
