@@ -203,21 +203,8 @@ def _find_default_config_path():
 def load_default_config():
     """Eagerly load the shipped per-TPU-generation config, matched by device
     kind substring (analogue of reference core.py:634-654)."""
-    import jax
-
-    try:
-        kind = jax.devices()[0].device_kind.lower().replace(" ", "_")
-    except Exception:
-        return None
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
-    if not os.path.isdir(root):
-        return None
-    tags = sorted((f.split(".")[0] for f in os.listdir(root) if f.endswith(".json")),
-                  key=len, reverse=True)
-    for tag in tags:
-        if tag in kind:
-            path = os.path.join(root, tag + ".json")
-            if load_config(path, print_error=False):
-                logger.warning("Loaded %s config.", path)
-                return path
+    path = _find_default_config_path()
+    if path is not None and load_config(path, print_error=False):
+        logger.warning("Loaded %s config.", path)
+        return path
     return None

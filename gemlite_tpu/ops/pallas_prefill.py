@@ -230,13 +230,25 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     return kernel
 
 
-def can_use_dequantize(meta, N, K) -> bool:
-    """pallas_dequantize serves the same layers as the prefill kernel (its
-    build path) at fixed blocks (bn=512|256, bk=gs-aligned)."""
-    from ..config import KernelConfig
+def _dequantize_blocks(meta, N, K):
+    """The (bn, bk) pallas_dequantize uses — ONE selector shared with
+    can_use_dequantize so approval and execution cannot diverge."""
     bn = next((b for b in (512, 256, 128) if N % b == 0), 0)
     bk = next((b for b in (2048, 1024, 512, 4096, 256, 128)
                if K % b == 0 and b % _effective_gs(meta, K, b) == 0), 0)
+    return bn, bk
+
+
+def can_use_dequantize(meta, N, K) -> bool:
+    """pallas_dequantize serves the same layers as the prefill kernel (its
+    build path). ONLY w_layout=1: the build's row order is the plane-stack
+    slot order, which equals natural k order precisely when the codes were
+    pack-time folded; reference-layout layers would come out K-permuted
+    (use dequantize_full for those)."""
+    from ..config import KernelConfig
+    if not getattr(meta, "w_layout", 0):
+        return False
+    bn, bk = _dequantize_blocks(meta, N, K)
     if not bn or not bk:
         return False
     return can_use_prefill_kernel(meta, 8, N, K,
@@ -251,9 +263,7 @@ def pallas_dequantize(W_q, scales, zeros, meta, interpret=None, W_lo=None):
     if interpret is None:
         interpret = _interpret_mode()
     N, K = meta.out_features, meta.in_features
-    bn = next(b for b in (512, 256, 128) if N % b == 0)
-    bk = next(b for b in (2048, 1024, 512, 4096, 256, 128)
-              if K % b == 0 and b % _effective_gs(meta, K, b) == 0)
+    bn, bk = _dequantize_blocks(meta, N, K)
     gs = _effective_gs(meta, K, bk)
     pair_fused = _is_pair_fused(meta, K, bk)
     if pair_fused:

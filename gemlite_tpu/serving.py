@@ -209,6 +209,12 @@ class ContinuousBatchingEngine:
             drafts.append(tok)
             q_full.append(q)
             dl = dl + 1
+        # feed the LAST drafted token once more so its KV lands in the draft
+        # cache: on full acceptance the next burst starts past this position
+        # and would otherwise attend a zero row forever (rejected tails are
+        # simply overwritten by later steps)
+        _, dkv = llama_decode_step_batched(dparams, dcfg, tok, dkv, dl,
+                                           t_active=t_active)
         drafts = jnp.concatenate(drafts, axis=1)              # (B, g)
         q_full = jnp.stack(q_full, axis=1)                    # (B, g, V)
 
@@ -293,9 +299,10 @@ class ContinuousBatchingEngine:
                 continue
             req = self.queue.pop(0)
             prompt = np.asarray(req.prompt_tokens, np.int32).reshape(-1)
-            if len(prompt) > self.buckets[-1] and not self.prefill_chunk:
-                # longer than the largest one-shot bucket: auto-chunk (the
-                # chunked path prefills buckets[-1] tokens per engine step)
+            if len(prompt) > self.buckets[-1]:
+                # longer than the largest one-shot bucket: ALWAYS chunk —
+                # even when prefill_chunk is set but larger than the prompt
+                # (the one-shot path's padded buffer is bucket-sized)
                 self.slot_req[slot] = req
                 self.slot_len[slot] = 0
                 self.slot_out[slot] = []
@@ -327,8 +334,10 @@ class ContinuousBatchingEngine:
 
     def _advance_prefills(self):
         """Process one prompt chunk per mid-prefill slot (chunked mode, or
-        auto-chunked admission of prompts longer than the largest bucket)."""
-        C = self.prefill_chunk or self.buckets[-1]
+        auto-chunked admission of prompts longer than the largest bucket).
+        The chunk width is capped at the largest bucket so chunk writes never
+        exceed the cache length."""
+        C = min(self.prefill_chunk or self.buckets[-1], self.buckets[-1])
         for slot in range(self.max_batch):
             pend = self.slot_pending[slot]
             if pend is None:

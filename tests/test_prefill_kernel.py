@@ -104,3 +104,32 @@ def test_dispatch_giant_m_dense_fallback():
     rel = np.mean(np.abs(np.asarray(y[:32], np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-9)
     assert rel < 5e-3, rel
+
+
+def test_giant_m_dense_fallback_reference_layout_correct():
+    """Regression: w_layout=0 layers (e.g. INT8-activation) at M >= 4096 must
+    NOT use pallas_dequantize (its row order is the plane slot order, natural
+    only for folded layers) — the fallback must stay numerically correct."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gemlite_tpu import DType, GemLiteLinear
+    from gemlite_tpu.ops.pallas_prefill import can_use_dequantize
+
+    rng = np.random.default_rng(2)
+    N, K, gs = 256, 512, 128
+    codes = rng.integers(0, 16, size=(N, K)).astype(np.uint8)
+    G = N * K // gs
+    scales = np.full((G, 1), 2.0**-8, np.float32)
+    zeros = rng.integers(0, 16, (G, 1)).astype(np.int32).astype(np.float32)
+    layer = GemLiteLinear(4, gs, K, N, DType.INT8, DType.BF16,
+                          scaled_activations=True).pack(codes, scales, zeros,
+                                                        fma_mode=False)
+    assert layer.w_layout == 0
+    assert not can_use_dequantize(layer.meta, N, K)
+    W_deq = ((codes.reshape(-1, gs) - zeros) * scales).reshape(N, K)
+    x = jnp.asarray(rng.normal(size=(4096, K)) * 0.2, jnp.bfloat16)
+    y = layer(x)
+    ref = np.asarray(x[:16], np.float32) @ W_deq.T
+    rel = np.mean(np.abs(np.asarray(y[:16], np.float32) - ref)) / \
+        (np.mean(np.abs(ref)) + 1e-9)
+    assert rel < 2e-2, rel

@@ -270,3 +270,39 @@ def test_speculative_sampled_deterministic_per_seed():
     a, b, c = run(0), run(0), run(1)
     assert a == b
     assert all(0 <= t < cfg.vocab_size for t in a)
+
+
+def test_long_prompt_with_larger_prefill_chunk():
+    """Prompt longer than the largest bucket but shorter than prefill_chunk
+    must still auto-chunk (regression: it crashed on the bucket buffer)."""
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=128,
+                           intermediate_size=256, num_layers=1, num_heads=4,
+                           num_kv_heads=2, head_dim=32, max_seq_len=64)
+    params = quantize_llama(init_llama(cfg, seed=0), W_nbits=4, group_size=32)
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=1,
+                                   prefill_buckets=(8, 16),
+                                   prefill_chunk=48)
+    rng = np.random.default_rng(0)
+    prompt = list(rng.integers(0, 128, size=30))
+    out = eng.generate([prompt], max_new_tokens=6)
+    assert len(out[0]) == 6
+
+    # result equals the unchunked engine's
+    ref = ContinuousBatchingEngine(params, cfg, max_batch=1,
+                                   prefill_buckets=(8, 16, 32))
+    assert out == ref.generate([prompt], max_new_tokens=6)
+
+
+def test_spec_draft_cache_has_no_hole_after_full_acceptance():
+    """Regression: on full acceptance the last drafted token's KV must be in
+    the DRAFT cache (it used to stay a zero row forever)."""
+    params, cfg = _mk_model(seed=4)
+    g = 3
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=1,
+                                   draft=(params, cfg), spec_tokens=g)
+    eng.submit(Request(prompt_tokens=[1, 2, 3], max_new_tokens=4 + g))
+    eng.step()   # prefill token + one full-acceptance burst of g+1
+    plen = 3
+    # positions plen .. plen+g must all be written in the draft cache
+    rows = np.asarray(eng.draft_kv)[0, 0, 0, plen:plen + g + 1]
+    assert (np.abs(rows).sum(axis=(1, 2)) > 0).all()
