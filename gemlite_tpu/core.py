@@ -159,12 +159,11 @@ def forward_functional(x, bias, tensor_args, meta: LayerMeta, matmul_type: int =
         elif input_dtype == DType.MXFP8 and csm == 2:
             x, scales_x = scale_activations_per_token(x, jnp.float8_e4m3fn)
         elif input_dtype in (DType.MXFP8, DType.MXFP4, DType.NVFP4) and csm == 4:
-            # micro-scaled activations: fake-quantize outside the kernel (bf16
-            # holds fp8/fp4 x 2^k exactly); the kernel then sees plain compute-
-            # dtype activations with no epilogue scaling (see mx.py docstring)
-            from .mx import fake_quant_activations
-            x = fake_quant_activations(x, input_dtype, to_jax_dtype(meta.output_dtype))
-            meta = meta._replace(channel_scale_mode=0)
+            # micro-scaled activations: handled by the dispatch layer — the
+            # prefill regime streams fp8 codes + e8m0-derived group scales
+            # into the kernel (ops/dispatch.py); every other regime falls
+            # back to exact bf16 fake-quant there (numerically identical)
+            pass
 
     x = x.reshape(-1, x.shape[-1])
 

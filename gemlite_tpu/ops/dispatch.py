@@ -35,9 +35,16 @@ from .pallas_int8 import (
 
 
 def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
-    from ..dtypes import is_mx_dtype
+    from ..dtypes import is_mx_dtype, to_jax_dtype
     if is_mx_dtype(meta.input_dtype):
         from ..mx import mx_forward_ref
+        if meta.channel_scale_mode == 4:
+            # csm-4 x arrives raw since the dispatch layer owns activation
+            # quantization; the oracle contract wants it fake-quantized
+            from ..mx import fake_quant_activations
+            x = fake_quant_activations(x, DType(meta.input_dtype),
+                                       to_jax_dtype(meta.output_dtype))
+            meta = meta._replace(channel_scale_mode=0)
         return mx_forward_ref(x, W_q, scales, zeros, scales_x, meta)
     return forward_ref(
         x, W_q, scales, zeros, scales_x,
@@ -113,6 +120,26 @@ def _make_family_kernel(family: str):
             meta.elements_per_sample, autotune_type_id(meta),
         )
         cfg = lookup_config(family, sig)
+
+        if meta.channel_scale_mode == 4:
+            from ..dtypes import is_mx_dtype, to_jax_dtype
+            if is_mx_dtype(meta.input_dtype) and 64 < M < 4096:
+                # micro-scaled activations IN-KERNEL (reference
+                # gemm_kernels.py:519-524): stream 1-byte fp8 codes + f32
+                # group scales instead of 2-byte fake-quantized activations
+                pcfg = cfg if cfg is not None else select_prefill_config(meta, M, N, K)
+                if can_use_prefill_kernel(meta, M, N, K, pcfg, mx_x=True):
+                    from ..quant import scale_activations_mx_transposed
+                    x_mx = scale_activations_mx_transposed(
+                        x, DType(meta.input_dtype))
+                    return pallas_prefill_matmul(None, W_q, scales, zeros,
+                                                 None, meta, pcfg, x_mx=x_mx)
+            # exact fallback: bf16 fake-quant outside the kernel (bit-
+            # identical values — see scale_activations_mx_transposed)
+            from ..mx import fake_quant_activations
+            x = fake_quant_activations(x, DType(meta.input_dtype),
+                                       to_jax_dtype(meta.output_dtype))
+            meta = meta._replace(channel_scale_mode=0)
 
         # decode regime: plane raw-dot kernel (fastest measured path)
         if M <= 64:

@@ -55,7 +55,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x, out_jdtype,
                  bm, bn, bk, gs, real_gs, n_k, n_m,
                  w_codec=None, scale_codec=None, pair_fused=False,
-                 folded=False, odd_lo=False, build_only=False, csm_weight=0):
+                 folded=False, odd_lo=False, build_only=False, csm_weight=0,
+                 mx_ags=0):
     n_planes = 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
@@ -71,9 +72,15 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
 
     def kernel(*refs):
         i = 0
-        x_ref = None
+        x_ref = sxm_ref = None
         if not build_only:
             x_ref = refs[i]; i += 1
+            if mx_ags:
+                # micro-scaled activations (channel_scale_mode 4): x arrives
+                # TRANSPOSED as fp8 codes (bk, Mp) + per-group f32 scales
+                # (bk // ags, Mp); the scale expansion is a sublane-dim
+                # broadcast on the (c_act, ags, bm) leading-split view
+                sxm_ref = refs[i]; i += 1
         w_ref = refs[i]; i += 1
         wlo_ref = None
         if odd_lo:
@@ -210,9 +217,19 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         # across the (j, m) sweep, so Mosaic never re-DMAs it (re-fetching
         # (bm, bk) blocks per j cost ~n_j * M * bk bytes and was the M>=2048
         # tail). The m sweep slices rows in-kernel.
-        acc_ref[pl.ds(m * bm, bm), :] += jax.lax.dot_general(
-            x_ref[pl.ds(m * bm, bm), :], bscr[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if mx_ags:
+            c_act = bk // mx_ags
+            x3 = x_ref[:, pl.ds(m * bm, bm)].reshape(
+                c_act, mx_ags, bm).astype(jnp.float32)
+            s3 = sxm_ref[:, pl.ds(m * bm, bm)][:, None, :]
+            xs = (x3 * s3).astype(jnp.bfloat16).reshape(bk, bm)
+            acc_ref[pl.ds(m * bm, bm), :] += jax.lax.dot_general(
+                xs, bscr[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc_ref[pl.ds(m * bm, bm), :] += jax.lax.dot_general(
+                x_ref[pl.ds(m * bm, bm), :], bscr[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         # ---- epilogue on the last K step --------------------------------
         @pl.when(k == n_k - 1)
@@ -357,9 +374,14 @@ def _is_pair_fused(meta, K: int, bk: int) -> bool:
             and bk % 32 == 0)
 
 
-def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
+def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig,
+                           mx_x: bool = False) -> bool:
     """Same dtype/packing/mode constraints as the decode kernel, without the
-    M <= block_m restriction; plus a VMEM bound on the full-M accumulator."""
+    M <= block_m restriction; plus a VMEM bound on the full-M accumulator.
+
+    ``mx_x`` selects the in-kernel micro-scaled activation path (channel_
+    scale_mode 4): transposed fp8 activation codes + per-group f32 scales
+    stream into the kernel instead of bf16 fake-quantized activations."""
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
                and meta.elements_per_sample == 4 and meta.W_group_mode == 2)
@@ -369,7 +391,17 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
         return False
     if meta.elements_per_sample != 32 // meta.W_nbits:
         return False
-    if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
+    if meta.W_group_mode not in (1, 2, 3, 4):
+        return False
+    if meta.channel_scale_mode == 4:
+        # only the mx_x path serves csm 4 in-kernel; callers fall back to
+        # exact bf16 fake-quant otherwise (core forward_functional)
+        ags = 16 if DType(meta.input_dtype) == DType.NVFP4 else 32
+        if (not mx_x or not is_mx_dtype(DType(meta.input_dtype))
+                or getattr(meta, "w_layout", 0) != 1
+                or cfg.block_k % ags):
+            return False
+    elif mx_x:
         return False
     if is_mx_dtype(DType(meta.input_dtype)):
         if not mx_fp8w and (meta.W_nbits != 4 or meta.W_group_mode != 2):
@@ -408,7 +440,12 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     Mp = _cdiv(M, bm) * bm
     acc_bytes = Mp * bn * 4
     scr_bytes = bk * bn * 2
-    x_bytes = 2 * Mp * bk * 2                   # double-buffered (Mp, bk)
+    if mx_x:
+        ags = 16 if DType(meta.input_dtype) == DType.NVFP4 else 32
+        # fp8 codes (bk, Mp) + f32 group scales (bk/ags, Mp), double-buffered
+        x_bytes = 2 * (bk * Mp + (bk // ags) * Mp * 4)
+    else:
+        x_bytes = 2 * Mp * bk * 2               # double-buffered (Mp, bk)
     w_bytes = 2 * (bk // meta.elements_per_sample) * bn * 4
     if acc_bytes + scr_bytes + x_bytes + w_bytes > 56 * 1024 * 1024:
         return False
@@ -443,8 +480,16 @@ def select_prefill_config(meta, M, N, K) -> KernelConfig:
 def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
                           cfg: Optional[KernelConfig] = None,
                           interpret: Optional[bool] = None,
-                          W_lo=None):
-    M, K = x.shape
+                          W_lo=None, x_mx=None):
+    """``x_mx`` (csm-4 in-kernel path): ``(codesT, scalesT)`` from
+    quant.scale_activations_mx_transposed — fp8 codes (K, M) + f32 group
+    scales (K // ags, M); ``x`` is ignored. Reference analogue: the MX GEMM's
+    tl.dot_scaled operand streams (gemm_kernels.py:519-524)."""
+    if x_mx is not None:
+        xT, sxT = x_mx
+        K, M = xT.shape
+    else:
+        M, K = x.shape
     N = meta.out_features
     if cfg is None:
         cfg = select_prefill_config(meta, M, N, K)
@@ -462,17 +507,27 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
     from ..dtypes import is_mx_dtype
     mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
                and meta.elements_per_sample == 4)
-    xq = x.astype(jnp.bfloat16)
-    if not getattr(meta, "w_layout", 0):
-        # reference layout: the dequant cache rows are in plane-stack order,
-        # matched by permuting x; folded layers (w_layout=1) are already in
-        # natural k order so x ships as-is
-        xq = permute_x_for_planes(xq, meta.W_nbits, gs)
+    mx_ags = 0
     Mp = _cdiv(M, bm) * bm
-    if Mp != M:
-        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
-        if scales_x is not None and meta.channel_scale_mode in (2, 3):
-            scales_x = jnp.pad(scales_x, ((0, Mp - M), (0, 0)))
+    if x_mx is not None:
+        # transposed fp8 codes + f32 group scales; column-pad to Mp (zero
+        # codes x zero scales contribute exactly 0 to the padded rows)
+        mx_ags = 16 if DType(meta.input_dtype) == DType.NVFP4 else 32
+        xq = None
+        if Mp != M:
+            xT = jnp.pad(xT, ((0, 0), (0, Mp - M)))
+            sxT = jnp.pad(sxT, ((0, 0), (0, Mp - M)))
+    else:
+        xq = x.astype(jnp.bfloat16)
+        if not getattr(meta, "w_layout", 0):
+            # reference layout: the dequant cache rows are in plane-stack
+            # order, matched by permuting x; folded layers (w_layout=1) are
+            # already in natural k order so x ships as-is
+            xq = permute_x_for_planes(xq, meta.W_nbits, gs)
+        if Mp != M:
+            xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+            if scales_x is not None and meta.channel_scale_mode in (2, 3):
+                scales_x = jnp.pad(scales_x, ((0, Mp - M), (0, 0)))
     n_m = Mp // bm
 
     has_scales = scales is not None and (
@@ -494,12 +549,24 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
                 scale_codec = "nvfp4"
                 scales = scales.astype(jnp.float32)
 
-    in_specs = [
-        pl.BlockSpec((Mp, bk), lambda j, k, m: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // meta.elements_per_sample, bn),
-                     lambda j, k, m: (k, j), memory_space=pltpu.VMEM),
-    ]
-    args = [xq, W_q]
+    if x_mx is not None:
+        in_specs = [
+            pl.BlockSpec((bk, Mp), lambda j, k, m: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // mx_ags, Mp), lambda j, k, m: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // meta.elements_per_sample, bn),
+                         lambda j, k, m: (k, j), memory_space=pltpu.VMEM),
+        ]
+        args = [xT, sxT, W_q]
+    else:
+        in_specs = [
+            pl.BlockSpec((Mp, bk), lambda j, k, m: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // meta.elements_per_sample, bn),
+                         lambda j, k, m: (k, j), memory_space=pltpu.VMEM),
+        ]
+        args = [xq, W_q]
     if W_lo is not None:
         in_specs.append(pl.BlockSpec((bk // 32, bn), lambda j, k, m: (k, j),
                                      memory_space=pltpu.VMEM))
@@ -543,12 +610,13 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         n_k=n_k, n_m=n_m,
         w_codec=w_codec, scale_codec=scale_codec, pair_fused=pair_fused,
         folded=bool(getattr(meta, "w_layout", 0)),
-        odd_lo=W_lo is not None,
+        odd_lo=W_lo is not None, mx_ags=mx_ags,
     )
 
+    x_stream_bytes = (Mp * K + (K // mx_ags) * Mp * 4) if mx_ags else Mp * K * 2
     cost = pl.CostEstimate(
         flops=2 * Mp * N * K,
-        bytes_accessed=(Mp * K * 2
+        bytes_accessed=(x_stream_bytes
                         + (K // meta.elements_per_sample) * N * 4
                         + Mp * N * jnp.dtype(out_jdtype).itemsize),
         transcendentals=0,

@@ -23,6 +23,7 @@ __all__ = [
     "scale_activations_mxfp8",
     "scale_activations_mxfp4",
     "scale_activations_nvfp4",
+    "scale_activations_mx_transposed",
     "WeightQuantizerMXFP",
     "FP4_VALUES",
 ]
@@ -209,6 +210,53 @@ def scale_activations_nvfp4(x):
     packed = packed.reshape(orig_shape[:-1] + (orig_shape[-1] // 2,))
     scales_out = scales_fp8.reshape(flat2d[0], flat2d[1] // group_size)
     return packed, scales_out
+
+
+def scale_activations_mx_transposed(x, input_dtype: DType):
+    """Micro-scaled activation quantization for the in-kernel csm-4 prefill
+    path (reference gemm_kernels.py:519-524 streams tl.dot_scaled operands;
+    here the kernel streams 1-byte codes + group scales instead of 2-byte
+    fake-quantized activations).
+
+    Returns ``(codesT, scalesT)``:
+
+    * ``codesT`` — float8_e4m3fn of shape (K, M): the group-local quantized
+      values, TRANSPOSED so the kernel's per-group scale expansion is a
+      sublane-dim broadcast (a lane-dim 32-wide broadcast is not Mosaic-
+      expressible). MXFP4/NVFP4 values (|v| in {0,.5,1,1.5,2,3,4,6}) are
+      exactly representable in e4m3, so one container serves all three
+      formats.
+    * ``scalesT`` — float32 of shape (K // ags, M), ags = 16 for NVFP4 else
+      32. Power-of-two (e8m0) for MXFP8/MXFP4; fp8-quantized x 0.05 meta
+      scale for NVFP4.
+
+    Bit-exactness contract: ``(codesT.astype(f32) * expand(scalesT))
+    .astype(bf16)`` equals ``fake_quant_activations(x, input_dtype)`` so the
+    in-kernel path and the fake-quant fallback are numerically identical.
+    """
+    group_size = 16 if input_dtype == DType.NVFP4 else 32
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    M, K = xf.shape
+    g = xf.reshape(M, K // group_size, group_size)
+    amax = jnp.max(jnp.abs(g), axis=2, keepdims=True)
+    if input_dtype == DType.MXFP8:
+        scales, _ = _pow2_ceil(amax / 448.0)
+        q = jnp.clip(g / scales, -448.0, 448.0).astype(jnp.float8_e4m3fn)
+    elif input_dtype == DType.MXFP4:
+        scales, _ = _pow2_ceil(amax / 6.0)
+        vals, _ = round_to_fp4(g / scales)
+        q = vals.astype(jnp.float8_e4m3fn)
+    elif input_dtype == DType.NVFP4:
+        ideal = amax / 6.0 / NVFP4_META_SCALE
+        s8 = jnp.clip(ideal, 0, 448.0).astype(jnp.float8_e4m3fn)
+        scales = jnp.maximum(s8.astype(jnp.float32) * NVFP4_META_SCALE, 1e-6)
+        vals, _ = round_to_fp4(g / scales)
+        q = vals.astype(jnp.float8_e4m3fn)
+    else:
+        raise ValueError(f"not an MX activation dtype: {input_dtype}")
+    codesT = q.reshape(M, K).T
+    scalesT = scales[:, :, 0].astype(jnp.float32).T
+    return codesT, scalesT
 
 
 # ---------------------------------------------------------------------------
