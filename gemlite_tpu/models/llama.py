@@ -276,7 +276,36 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
-    if kv is not None:
+    from .paged_kv import PagedKV, paged_write, paged_gather, \
+        paged_decode_attention
+    attn = None
+    if isinstance(kv, PagedKV):
+        # paged cache (serving): scatter writes through the block table;
+        # single-token decode reads only each slot's own live pages
+        per_slot = hasattr(cache_len, "ndim") and jnp.ndim(cache_len) == 1
+        if per_slot:
+            pos = cache_len[:, None] + jnp.arange(S)[None, :]
+        else:
+            pos = cache_len + jnp.arange(S)[None, :]
+            pos = jnp.broadcast_to(pos, (B, S))
+        kv = paged_write(kv, layer_idx, k, v, pos)
+        is_prefill = S > 1 and isinstance(cache_len, int) and cache_len == 0
+        if is_prefill and _can_use_flash(q, k):
+            attn = _attention_flash_causal(q, k, v).reshape(B, S, -1)
+        elif S == 1 and per_slot:
+            attn = paged_decode_attention(
+                q[:, 0], kv, layer_idx,
+                (cache_len + 1).astype(jnp.int32)).reshape(B, 1, -1)
+        else:
+            # multi-token at a cache offset (chunked prefill, speculative
+            # verify): masked attention over the gathered live bucket
+            k_all, v_all = paged_gather(kv, layer_idx, t_active or 0)
+            T = k_all.shape[1]
+            t_idx = jnp.arange(T)[None, None, :]
+            s_idx = pos[:, :, None]
+            mask = jnp.broadcast_to(t_idx <= s_idx, (B, S, T))
+            attn = _attention(q, k_all, v_all, mask).reshape(B, S, -1)
+    elif kv is not None:
         per_slot = hasattr(cache_len, "ndim") and jnp.ndim(cache_len) == 1
         if per_slot:
             # continuous-batching decode / speculative verify: S >= 1 tokens
@@ -308,15 +337,16 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
         s_idx = jnp.arange(S)[None, :, None]
         mask = jnp.broadcast_to(t_idx <= s_idx, (B, S, S))
 
-    # flash path requires a statically-known zero cache offset (pure causal)
-    is_prefill = (kv is None) or (S > 1 and isinstance(cache_len, int)
-                                  and cache_len == 0)
-    if is_prefill and _can_use_flash(q, k):
-        # cache_len == 0 on the prefill path: causal over the first S cache
-        # entries == causal over k/v directly (cache tail is masked anyway)
-        attn = _attention_flash_causal(q, k, v).reshape(B, S, -1)
-    else:
-        attn = _attention(q, k_all, v_all, mask).reshape(B, S, -1)
+    if attn is None:
+        # flash path requires a statically-known zero cache offset (causal)
+        is_prefill = (kv is None) or (S > 1 and isinstance(cache_len, int)
+                                      and cache_len == 0)
+        if is_prefill and _can_use_flash(q, k):
+            # cache_len == 0 on the prefill path: causal over the first S
+            # cache entries == causal over k/v directly (tail is masked)
+            attn = _attention_flash_causal(q, k, v).reshape(B, S, -1)
+        else:
+            attn = _attention(q, k_all, v_all, mask).reshape(B, S, -1)
     x = x + _apply(blk["attn"]["wo"], attn)
 
     h = _rms_norm(x, blk["ln_mlp"], cfg.norm_eps)

@@ -79,7 +79,7 @@ def pipeline_apply(stage_params, block_fn: Callable, x, mesh: Mesh,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), other_specs),
-             out_specs=other_specs, check_rep=False)
+             out_specs=P(axis), check_rep=False)
     def run(stage_blocks, xs_rep):
         my_blocks = jax.tree_util.tree_map(lambda a: a[0], stage_blocks)
         idx = jax.lax.axis_index(axis)
@@ -100,11 +100,14 @@ def pipeline_apply(stage_params, block_fn: Callable, x, mesh: Mesh,
             if t < T - 1:
                 buf = jax.lax.ppermute(
                     y, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)])
-        # replicate the result (held by the last stage) to every device
-        outs = jax.lax.psum(
-            outs * jnp.where(idx == n_stages - 1, 1.0, 0.0).astype(outs.dtype),
-            axis)
-        return outs
+        # each device returns its own outs buffer as one shard of a leading
+        # stage axis — only the LAST stage's shard holds real data
+        return outs[None]
 
-    out = run(stage_params, xs)
+    # out is (n_stages, n_micro, mb, ...) sharded over the stage axis; the
+    # last stage's shard is the result. Slicing it makes XLA move only that
+    # one shard (a single owner -> consumers broadcast, volume = |result|) —
+    # unlike the previous masked-psum combine, an all-reduce over the FULL
+    # buffer on every device (O(stages x |result|) collective volume).
+    out = run(stage_params, xs)[n_stages - 1]
     return out.reshape(B, *x.shape[1:])

@@ -17,6 +17,13 @@ here it is a first-class, TPU-native subsystem. Design:
 * **Per-slot cache offsets** via scatter updates
   (models/llama.py llama_decode_step_batched): slots decode at different
   sequence positions inside one kernel launch.
+* **Paged KV attention** (default; the TPU-native analogue of vLLM's
+  PagedAttention, which the reference delegates to — reference
+  README.md:171-196): KV lives in fixed-size pages addressed through a
+  runtime block table (models/paged_kv.py); decode reads only each slot's
+  own live pages via the Pallas paged-attention kernel, pages are handed
+  out on demand from a free list and returned at slot finish, and
+  ``total_pages`` can oversubscribe below the worst-case footprint.
 * **Chunked prefill** (``prefill_chunk=N``): long prompts are prefilled N
   tokens per engine step at a traced cache offset, interleaved with decode
   of the other slots — a long admission no longer stalls running streams,
@@ -69,7 +76,9 @@ class ContinuousBatchingEngine:
     def __init__(self, params, cfg, max_batch: int = 8, eos_id: Optional[int] = None,
                  prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048), seed: int = 0,
                  prefill_chunk: Optional[int] = None,
-                 draft: Optional[tuple] = None, spec_tokens: int = 4):
+                 draft: Optional[tuple] = None, spec_tokens: int = 4,
+                 paged: bool = True, page_size: int = 128,
+                 total_pages: Optional[int] = None):
         from .models.llama import init_kv_cache
 
         self.params = params
@@ -91,7 +100,36 @@ class ContinuousBatchingEngine:
         # engine step, interleaved with decode of the other slots — bounds the
         # per-step latency a long admission adds (one compiled chunk program)
         self.prefill_chunk = prefill_chunk
-        self.kv = init_kv_cache(cfg, max_batch)
+        # paged KV (vLLM-style block tables, reference README.md:171-196):
+        # pages are handed out on demand from a free list as sequences grow
+        # and returned when a slot finishes; page 0 is a reserved TRASH page
+        # so inactive slots' masked decode writes through stale table rows
+        # can never clobber live pages. total_pages < max_batch * pages_per_
+        # seq oversubscribes memory (admission then depends on actual, not
+        # worst-case, sequence lengths).
+        self.paged = paged
+        if paged:
+            from .models.paged_kv import init_paged_kv
+
+            # largest power-of-two divisor of max_seq_len <= requested size
+            page_size = min(page_size, cfg.max_seq_len)
+            while cfg.max_seq_len % page_size:
+                page_size //= 2
+            self.page_size = page_size
+            self.pages_per_seq = cfg.max_seq_len // page_size
+            n_pages = (total_pages if total_pages is not None
+                       else max_batch * self.pages_per_seq + 1)
+            assert n_pages >= 2, "need at least the trash page + one page"
+            self.kv = init_paged_kv(cfg, max_batch, page_size,
+                                    total_pages=n_pages)
+            self.page_table = np.zeros((max_batch, self.pages_per_seq),
+                                       np.int32)     # all rows -> trash page
+            self.kv = self.kv.with_table(jnp.asarray(self.page_table))
+            self.free_pages: List[int] = list(range(n_pages - 1, 0, -1))
+            self.slot_pages: List[List[int]] = [[] for _ in range(max_batch)]
+            self._table_dirty = False
+        else:
+            self.kv = init_kv_cache(cfg, max_batch)
         self.key = jax.random.PRNGKey(seed)
 
         # host-side slot state
@@ -123,6 +161,38 @@ class ContinuousBatchingEngine:
                                      static_argnames=("gamma", "t_active"))
 
     # ------------------------------------------------------------------
+    # paged-KV page allocator (host side)
+    # ------------------------------------------------------------------
+    def _ensure_pages(self, slot: int, n_tokens: int):
+        """Grow the slot's page set to cover ``n_tokens`` cache positions."""
+        if not self.paged:
+            return
+        need = -(-int(n_tokens) // self.page_size)
+        own = self.slot_pages[slot]
+        while len(own) < need:
+            if not self.free_pages:
+                raise RuntimeError(
+                    "paged KV pool exhausted — raise total_pages (the pool "
+                    "is oversubscribed below the worst-case footprint)")
+            p = self.free_pages.pop()
+            self.page_table[slot, len(own)] = p
+            own.append(p)
+            self._table_dirty = True
+
+    def _free_slot_pages(self, slot: int):
+        if not self.paged or not self.slot_pages[slot]:
+            return
+        self.free_pages.extend(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.page_table[slot, :] = 0          # stale writes land in trash
+        self._table_dirty = True
+
+    def _sync_table(self):
+        if self.paged and self._table_dirty:
+            self.kv = self.kv.with_table(jnp.asarray(self.page_table))
+            self._table_dirty = False
+
+    # ------------------------------------------------------------------
     # jitted device functions
     # ------------------------------------------------------------------
     def _prefill_impl(self, params, tokens, kv, slot, true_len):
@@ -130,10 +200,18 @@ class ContinuousBatchingEngine:
         (last-token logits (1, V), kv)."""
         from .models.llama import llama_forward
 
-        kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
-        logits, kv_slot = llama_forward(params, self.cfg, tokens,
-                                        kv=kv_slot, cache_len=0)
-        kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
+        if self.paged:
+            table = kv.table
+            kv1 = kv.with_table(
+                jax.lax.dynamic_slice_in_dim(table, slot, 1, axis=0))
+            logits, kv1 = llama_forward(params, self.cfg, tokens,
+                                        kv=kv1, cache_len=0)
+            kv = kv1.with_table(table)
+        else:
+            kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
+            logits, kv_slot = llama_forward(params, self.cfg, tokens,
+                                            kv=kv_slot, cache_len=0)
+            kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
         last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
         return last[:, 0, :], kv
 
@@ -144,10 +222,18 @@ class ContinuousBatchingEngine:
         logits at the chunk's last valid position."""
         from .models.llama import llama_forward
 
-        kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
-        logits, kv_slot = llama_forward(params, self.cfg, tokens,
-                                        kv=kv_slot, cache_len=cache_len)
-        kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
+        if self.paged:
+            table = kv.table
+            kv1 = kv.with_table(
+                jax.lax.dynamic_slice_in_dim(table, slot, 1, axis=0))
+            logits, kv1 = llama_forward(params, self.cfg, tokens,
+                                        kv=kv1, cache_len=cache_len)
+            kv = kv1.with_table(table)
+        else:
+            kv_slot = jax.lax.dynamic_slice_in_dim(kv, slot, 1, axis=2)
+            logits, kv_slot = llama_forward(params, self.cfg, tokens,
+                                            kv=kv_slot, cache_len=cache_len)
+            kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
         last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
         return last[:, 0, :], kv
 
@@ -318,6 +404,10 @@ class ContinuousBatchingEngine:
             Lb = _next_bucket(len(prompt), self.buckets)
             padded = np.zeros((1, Lb), np.int32)
             padded[0, :len(prompt)] = prompt
+            # pad rows within the bucket are also written (then overwritten
+            # by decode); cover the whole bucket
+            self._ensure_pages(slot, Lb)
+            self._sync_table()
             logits, self.kv = self._prefill_jit(
                 self.params, jnp.asarray(padded), self.kv,
                 jnp.int32(slot), jnp.int32(len(prompt)))
@@ -345,6 +435,8 @@ class ContinuousBatchingEngine:
             chunk, rest = pend[:C], pend[C:]
             padded = np.zeros((1, C), np.int32)
             padded[0, :len(chunk)] = chunk
+            self._ensure_pages(slot, int(self.slot_len[slot]) + C)
+            self._sync_table()
             logits, self.kv = self._prefill_chunk_jit(
                 self.params, jnp.asarray(padded), self.kv, jnp.int32(slot),
                 jnp.int32(int(self.slot_len[slot])), jnp.int32(len(chunk)))
@@ -381,6 +473,7 @@ class ContinuousBatchingEngine:
             self.slot_req[slot] = None
             self.slot_out[slot] = []
             self.slot_pending[slot] = None
+            self._free_slot_pages(slot)
 
     def step(self):
         """Admit pending requests, advance prompt chunks, then advance every
@@ -409,6 +502,10 @@ class ContinuousBatchingEngine:
         g = self.spec_tokens
         max_len = int(lens[active].max())
         if g and max_len + g + 1 < self.cfg.max_seq_len:
+            for slot in range(self.max_batch):
+                if active[slot]:
+                    self._ensure_pages(slot, int(lens[slot]) + g + 1)
+            self._sync_table()
             t_act = _next_bucket(max_len + g + 1, self.decode_buckets)
             drafts, fix, n_acc, self.kv, self.draft_kv, self.key = \
                 self._spec_jit(self.params, self.draft[0], tokens, self.kv,
@@ -431,8 +528,14 @@ class ContinuousBatchingEngine:
                         break
             return
 
-        # live-KV bucket: the longest active slot's next position, rounded up
-        t_act = _next_bucket(max_len + 1, self.decode_buckets)
+        for slot in range(self.max_batch):
+            if active[slot]:
+                self._ensure_pages(slot, int(lens[slot]) + 1)
+        self._sync_table()
+        # paged decode is length-driven per slot (no bucket, no recompiles);
+        # the dense cache falls back to the live-KV bucket bound
+        t_act = (None if self.paged
+                 else _next_bucket(max_len + 1, self.decode_buckets))
         nxt, self.kv, self.key = self._decode_jit(
             self.params, tokens, self.kv, jnp.asarray(lens),
             jnp.asarray(active), self.key, jnp.asarray(temps),
