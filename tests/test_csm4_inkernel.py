@@ -94,7 +94,7 @@ def test_layer_forward_prefill_vs_oracle(dt):
                                layer.meta._replace(channel_scale_mode=0))
         r = float(jnp.mean(jnp.abs(y.astype(jnp.float32) - y_ref.astype(jnp.float32)))
                   / (jnp.mean(jnp.abs(y_ref.astype(jnp.float32))) + 1e-9))
-        assert r < 2e-2, f"{dt} M={M}: rel {r}"
+        assert r < 5e-3, f"{dt} M={M}: rel {r}"
 
 
 @pytest.mark.parametrize("dt", MX_DTYPES)
@@ -110,4 +110,4 @@ def test_decode_regime_still_fake_quants(dt):
                            layer.meta._replace(channel_scale_mode=0))
     r = float(jnp.mean(jnp.abs(y.astype(jnp.float32) - y_ref.astype(jnp.float32)))
               / (jnp.mean(jnp.abs(y_ref.astype(jnp.float32))) + 1e-9))
-    assert r < 2e-2
+    assert r < 5e-3

@@ -79,7 +79,7 @@ def test_folded_forward_matches_reference_layout(W_nbits, gs, M):
     y_ref = ref(x)                                 # keeps its folded W_q
     np.testing.assert_allclose(
         np.asarray(y_folded, np.float32), np.asarray(y_ref, np.float32),
-        rtol=0, atol=2e-2 * float(np.mean(np.abs(np.asarray(y_ref, np.float32)))) + 1e-5)
+        rtol=0, atol=1e-2 * float(np.mean(np.abs(np.asarray(y_ref, np.float32)))) + 1e-5)
 
 
 def test_fold_skipped_when_not_servable():

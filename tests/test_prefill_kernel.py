@@ -36,7 +36,7 @@ def test_prefill_matches_reference(W_nbits, group_size, M):
         ref = np.asarray(x, np.float32) @ W_deq.T
         rel = np.mean(np.abs(np.asarray(got, np.float32) - ref)) / \
             (np.mean(np.abs(ref)) + 1e-6)
-        assert rel < 2e-2, (fma, rel)
+        assert rel < 5e-3, (fma, rel)
 
 
 def test_dispatch_routes_prefill():
@@ -50,7 +50,7 @@ def test_dispatch_routes_prefill():
     ref = np.asarray(x, np.float32) @ W_deq.T
     rel = np.mean(np.abs(np.asarray(y, np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-6)
-    assert rel < 2e-2, rel
+    assert rel < 5e-3, rel
 
 
 def test_pallas_dequantize_matches_dequantize_full():
