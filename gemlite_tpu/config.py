@@ -62,17 +62,35 @@ def set_kernel_caching(enable: bool):
 @dataclass(frozen=True)
 class KernelConfig:
     """Pallas launch configuration — the TPU analogue of a Triton
-    (BLOCK_M, BLOCK_N, BLOCK_K, num_warps, num_stages) tuple."""
+    (BLOCK_M, BLOCK_N, BLOCK_K, num_warps, num_stages) tuple.
+
+    ``build_bf16``: prefill dequant-cache build in bf16 arithmetic (halves
+    the VPU traffic of the f32 intermediate; codes and offsets stay exact,
+    the group-scale multiply picks up one bf16 rounding).
+    ``n_sub``: split the prefill cache build into lane sub-columns so
+    Mosaic's scheduler can interleave the VPU build of column h+1 with the
+    MXU dot of column h (the build is otherwise serial with the dots)."""
     block_m: int
     block_n: int
     block_k: int
+    build_bf16: bool = False
+    n_sub: int = 1
 
     def to_dict(self):
-        return asdict(self)
+        d = asdict(self)
+        # keep shipped tables minimal: drop default-valued extras
+        if not d["build_bf16"]:
+            del d["build_bf16"]
+        if d["n_sub"] == 1:
+            del d["n_sub"]
+        return d
 
     @classmethod
     def from_dict(cls, d):
-        return cls(**{k: d[k] for k in ("block_m", "block_n", "block_k")})
+        return cls(block_m=d["block_m"], block_n=d["block_n"],
+                   block_k=d["block_k"],
+                   build_bf16=bool(d.get("build_bf16", False)),
+                   n_sub=int(d.get("n_sub", 1)))
 
 
 # family name -> {str(signature): config dict}

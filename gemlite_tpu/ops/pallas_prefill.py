@@ -56,7 +56,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  bm, bn, bk, gs, real_gs, n_k, n_m,
                  w_codec=None, scale_codec=None, pair_fused=False,
                  folded=False, odd_lo=False, build_only=False, csm_weight=0,
-                 mx_ags=0):
+                 mx_ags=0, build_bf16=False, n_sub=1):
     n_planes = 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
@@ -110,25 +110,37 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 acc_ref[...] = jnp.zeros_like(acc_ref)
 
         c_meta = 2 * c if pair_fused else c
+        # build arithmetic dtype: bf16 halves the VPU traffic of the f32
+        # intermediate (codes/offsets stay exact below 256; the group-scale
+        # multiply picks up one bf16 rounding) — opt-in via KernelConfig.
+        # W8 integer codes live at 1024+code (fp16 magic), beyond bf16's
+        # exact-integer range: that path always builds in f32.
+        cdt = (jnp.bfloat16 if build_bf16 and offset != 1024.0
+               else jnp.float32)
+        bns = bn // n_sub
 
-        def meta_rows(ref):
+        def meta_rows(ref, h=0):
+            sl = slice(h * bns, (h + 1) * bns) if n_sub > 1 else slice(None)
             if c_meta >= ref.shape[0]:
-                mrow = ref[...]
+                mrow = ref[:, sl]
             elif bk < real_gs:
-                mrow = ref[pl.ds((k * bk) // real_gs, 1), :]
+                mrow = ref[pl.ds((k * bk) // real_gs, 1), sl]
             else:
-                mrow = ref[pl.ds(k * c_meta, c_meta), :]
+                mrow = ref[pl.ds(k * c_meta, c_meta), sl]
             if scale_codec == "e8m0" and ref is s_ref:
                 return jax.lax.bitcast_convert_type(
-                    jax.lax.shift_left(mrow, 23), jnp.float32)[:, None, :]
-            mrow = mrow.astype(jnp.float32)[:, None, :]   # (c_meta, 1, bn)
+                    jax.lax.shift_left(mrow, 23),
+                    jnp.float32).astype(cdt)[:, None, :]
+            mrow = mrow.astype(jnp.float32)[:, None, :]   # (c_meta, 1, bns)
             if scale_codec == "nvfp4" and ref is s_ref:
                 mrow = mrow * 0.05
-            return mrow
+            return mrow.astype(cdt)
 
-        # ---- dequantize one (bk, bn) weight block -----------------------
-        def build_block():
-            w = w_ref[...]
+        # ---- dequantize one (bk, bns) weight sub-block -------------------
+        def build_block(h=0):
+            w = (w_ref[...] if n_sub == 1
+                 else w_ref[:, h * bns:(h + 1) * bns])
+            bn_ = bns
             if pair_fused:
                 # NVFP4 gs=16: build on fused 32-blocks (t_rows = 8), scales
                 # per real 16-group applied on a 5-D view of the plane stack.
@@ -136,67 +148,67 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 #                     -> the pair axis is s // 4
                 #   folded layout:    slot (j, s) holds k = 32q + 8j + s
                 #                     -> the pair axis is j // 2
-                planes = _fp4_planes(w, n_planes, c, t_rows, bn)
-                v = jnp.stack(planes, axis=1)               # (c, P, 8, bn)
-                s3 = meta_rows(s_ref)                       # (2c, 1, bn)
+                planes = _fp4_planes(w, n_planes, c, t_rows, bn_)
+                v = jnp.stack(planes, axis=1)               # (c, P, 8, bn_)
+                s3 = meta_rows(s_ref, h)                    # (2c, 1, bn_)
                 if folded:
-                    sv = s3.reshape(c, 2, 1, 1, bn)
-                    v5 = v.reshape(c, 2, n_planes // 2, t_rows, bn)
+                    sv = s3.reshape(c, 2, 1, 1, bn_)
+                    v5 = v.reshape(c, 2, n_planes // 2, t_rows, bn_)
                 else:
-                    sv = s3.reshape(c, 1, 2, 1, bn)
-                    v5 = v.reshape(c, n_planes, 2, t_rows // 2, bn)
-                b = v5.astype(jnp.float32) * sv
-                return b.astype(jnp.bfloat16).reshape(bk, bn)
+                    sv = s3.reshape(c, 1, 2, 1, bn_)
+                    v5 = v.reshape(c, n_planes, 2, t_rows // 2, bn_)
+                b = v5.astype(cdt) * sv
+                return b.astype(jnp.bfloat16).reshape(bk, bn_)
             if w_codec in ("fp8w", "fp8w5"):
-                planes = _fp8_planes(w, c, t_rows, bn,
+                planes = _fp8_planes(w, c, t_rows, bn_,
                                      e5m2=(w_codec == "fp8w5"))
-                v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # true values
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
             elif w_codec == "fp4":
-                planes = _fp4_planes(w, n_planes, c, t_rows, bn)
-                v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # true values
+                planes = _fp4_planes(w, n_planes, c, t_rows, bn_)
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
             else:
                 planes = [
                     pltpu.bitcast(((w >> (W_nbits * j)) & mask) | plane_magic,
-                                  plane_dtype).reshape(c, t_rows, bn)
+                                  plane_dtype).reshape(c, t_rows, bn_)
                     for j in range(n_planes)
                 ]
-                v = jnp.stack(planes, axis=1).reshape(c, gs, bn)  # codes+OFFSET
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # codes+OFFSET
                 if odd_lo:
                     # odd bit-width: code = (hi << 1) | lo with the standard
                     # +128 offset; the -256 must precede the low-plane add
                     # (bf16 integers are exact only below 256 — see
                     # pallas_decode)
                     from .pallas_decode import _odd_lo_planes
-                    vlo = _odd_lo_planes(wlo_ref[...], bk, bn).reshape(c, gs, bn)
+                    vlo = _odd_lo_planes(wlo_ref[...], bk, bn_).reshape(c, gs, bn_)
                     v = (v * jnp.bfloat16(2.0) - jnp.bfloat16(256.0)) + vlo
             if W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
                 # true-value planes: block scale only
-                b = v.astype(jnp.float32) * meta_rows(s_ref)
+                b = v.astype(cdt) * meta_rows(s_ref, h)
             elif W_group_mode == 2:
-                s3 = meta_rows(s_ref)
-                b = ((v.astype(jnp.float32) - offset) * s3)
+                s3 = meta_rows(s_ref, h)
+                b = ((v.astype(cdt) - offset) * s3)
             elif W_group_mode == 1:
                 if zero_is_scalar:
-                    zoff = z_ref[0, 0].astype(jnp.float32) + offset
+                    zoff = z_ref[0, 0].astype(cdt) + cdt(offset)
                 else:
-                    zoff = meta_rows(z_ref) + offset
-                b = v.astype(jnp.float32) - zoff
+                    zoff = meta_rows(z_ref, h) + cdt(offset)
+                b = v.astype(cdt) - zoff
             elif W_group_mode == 3:
-                s3 = meta_rows(s_ref)
+                s3 = meta_rows(s_ref, h)
                 if zero_is_scalar:
-                    zoff = z_ref[0, 0].astype(jnp.float32) + offset
+                    zoff = z_ref[0, 0].astype(cdt) + cdt(offset)
                 else:
-                    zoff = meta_rows(z_ref) + offset
-                b = (v.astype(jnp.float32) - zoff) * s3
+                    zoff = meta_rows(z_ref, h) + cdt(offset)
+                b = (v.astype(cdt) - zoff) * s3
             elif W_group_mode == 4:
-                s3 = meta_rows(s_ref)
-                z3 = meta_rows(z_ref)
-                b = (v.astype(jnp.float32) - offset) * s3 + z3
+                s3 = meta_rows(s_ref, h)
+                z3 = meta_rows(z_ref, h)
+                b = (v.astype(cdt) - offset) * s3 + z3
             else:  # mode 0: raw codes (non-packed never routes here)
-                b = v.astype(jnp.float32) - offset
-            # (c, gs, bn) -> (bk, bn): adjacent leading-dim merge, lanes
+                b = v.astype(cdt) - offset
+            # (c, gs, bn_) -> (bk, bn_): adjacent leading-dim merge, lanes
             # untouched — cheap, and done once per (j, k) block
-            return b.astype(jnp.bfloat16).reshape(bk, bn)
+            return b.astype(jnp.bfloat16).reshape(bk, bn_)
 
         if build_only:
             # pallas_dequantize: write the dense block out, folding the
@@ -208,16 +220,16 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             o_ref[...] = b2
             return
 
-        @pl.when(m == 0)
-        def _():
-            bscr[...] = build_block()
-
         # ---- MXU: one full-bk contraction per m block -------------------
         # x arrives as a FULL-M (Mp, bk) block indexed only by k: constant
         # across the (j, m) sweep, so Mosaic never re-DMAs it (re-fetching
         # (bm, bk) blocks per j cost ~n_j * M * bk bytes and was the M>=2048
         # tail). The m sweep slices rows in-kernel.
         if mx_ags:
+            @pl.when(m == 0)
+            def _():
+                bscr[...] = build_block()
+
             c_act = bk // mx_ags
             x3 = x_ref[:, pl.ds(m * bm, bm)].reshape(
                 c_act, mx_ags, bm).astype(jnp.float32)
@@ -226,10 +238,35 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             acc_ref[pl.ds(m * bm, bm), :] += jax.lax.dot_general(
                 xs, bscr[...], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        else:
+        elif n_sub == 1:
+            @pl.when(m == 0)
+            def _():
+                bscr[...] = build_block()
+
             acc_ref[pl.ds(m * bm, bm), :] += jax.lax.dot_general(
                 x_ref[pl.ds(m * bm, bm), :], bscr[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        else:
+            # sub-column pipeline: the VPU build of column h+1 carries no
+            # data dependence on the MXU dot of column h, so Mosaic's
+            # scheduler can overlap them instead of serializing the whole
+            # cache build in front of the first dot
+            @pl.when(m == 0)
+            def _():
+                bscr[:, :bns] = build_block(0)
+
+            xm = x_ref[pl.ds(m * bm, bm), :]
+            for h in range(n_sub):
+                if h + 1 < n_sub:
+                    @pl.when(m == 0)
+                    def _(h=h):
+                        bscr[:, (h + 1) * bns:(h + 2) * bns] = \
+                            build_block(h + 1)
+                acc_ref[pl.ds(m * bm, bm), h * bns:(h + 1) * bns] += \
+                    jax.lax.dot_general(
+                        xm, bscr[:, h * bns:(h + 1) * bns],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
         # ---- epilogue on the last K step --------------------------------
         @pl.when(k == n_k - 1)
@@ -596,6 +633,15 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
                                      memory_space=pltpu.VMEM))
         args.append(scales_x.astype(jnp.float32))
 
+    # experimental knobs (autotunable): bf16 build arithmetic + sub-column
+    # build/dot interleave; sanitized here so table entries tuned for other
+    # layers can never produce an invalid launch
+    build_bf16 = bool(getattr(cfg, "build_bf16", False)) and not pair_fused
+    n_sub = int(getattr(cfg, "n_sub", 1) or 1)
+    if (pair_fused or W_lo is not None or x_mx is not None or n_sub < 2
+            or bn % n_sub or (bn // n_sub) % 128):
+        n_sub = 1
+
     kernel = _make_kernel(
         W_nbits=meta.W_nbits,
         W_group_mode=meta.W_group_mode,
@@ -611,6 +657,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         w_codec=w_codec, scale_codec=scale_codec, pair_fused=pair_fused,
         folded=bool(getattr(meta, "w_layout", 0)),
         odd_lo=W_lo is not None, mx_ags=mx_ags,
+        build_bf16=build_bf16, n_sub=n_sub,
     )
 
     x_stream_bytes = (Mp * K + (K // mx_ags) * Mp * 4) if mx_ags else Mp * K * 2

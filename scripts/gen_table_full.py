@@ -99,6 +99,30 @@ def main():
             for shape in shapes:
                 tune_one(label, shape, W_nbits, gs, M, dt)
 
+    # BASELINE.md sweep shapes beyond the Llama projections: large square
+    # A16W4 gs=128 decode+prefill (reference README plots 4096^2..32768^2).
+    # One autotune_shapes call per shape (weights built/uploaded once) over
+    # the remaining M buckets.
+    for side in (8192, 16384, 32768):
+        Ms = []
+        for M in (1, 16, 256, 1024):
+            prefix = f"({m_bucket.get_closest_m(M)}, {side}, {side}, 128, 8,"
+            if not any(s.startswith(prefix) for s in existing):
+                Ms.append(M)
+        if not Ms:
+            continue
+        print(f"=== W4 gs=128 square {side} M={Ms} ===", flush=True)
+        try:
+            autotune_shapes([(side, side)], W_nbits=4, group_size=128,
+                            batch_sizes=tuple(Ms), effort="fast",
+                            verbose=False)
+        except Exception as e:
+            print(f"  FAILED: {str(e)[:200]}", flush=True)
+            continue
+        cfg.cache_config(out)
+        n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
+        print(f"  -> {n} entries", flush=True)
+
     n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
     print(f"FINAL: {n} entries in {out}", flush=True)
 
