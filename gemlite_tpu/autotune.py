@@ -61,8 +61,16 @@ def _candidate_grid(effort: str, M, N, K, group_size):
         bks = [1024, 2048]
     bns = [b for b in bns if N % b == 0] or [b for b in (256, 128) if N % b == 0]
     bks = [b for b in bks if K % b == 0] or [b for b in (512, 256, 128) if K % b == 0]
-    return [KernelConfig(bm, bn, bk)
-            for bm, bn, bk in itertools.product(bms, bns, bks)]
+    cands = [KernelConfig(bm, bn, bk)
+             for bm, bn, bk in itertools.product(bms, bns, bks)]
+    if effort == "max" and M > 64:
+        # prefill build knobs (bf16 cache arithmetic / sub-column interleave)
+        cands += [KernelConfig(c.block_m, c.block_n, c.block_k,
+                               build_bf16=bf, n_sub=ns)
+                  for c in list(cands)
+                  for bf, ns in ((True, 1), (False, 2), (True, 2))
+                  if c.block_n % (ns * 128) == 0]
+    return cands
 
 
 def _vmem_ok(meta, cfg: KernelConfig) -> bool:
