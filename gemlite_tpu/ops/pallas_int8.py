@@ -12,6 +12,10 @@ INT8-activation layers on the M <= 64 fast path:
   int32 words are already in natural k order (little-endian), so
   ``bitcast(w ^ 0x80808080, int8)`` yields (code - 128) int8 lanes in one
   VPU op; the correction adds (128 - z) * xsum back in int32.
+* packed W8 codes with GROUPED scales/zeros: same byte bitcast, but the
+  k block is walked as ``c = bk // gs`` statically-unrolled flat 2D dots
+  (one per group) with the per-group correction and f32 scale applied at
+  each step — the batched (c, gs) u8 group-dot form miscompiles Mosaic.
 * packed W4/W2 codes with grouped int zeros (W_group_mode 3, fma_mode=False):
   even/odd nibble BYTE-planes — ``(w >> p*W_nbits) & 0x0F0F0F0F`` bitcast to
   int8 — stacked per group; the group dot runs batched (c, gs) x (c, gs, bn)
@@ -78,20 +82,24 @@ def can_use_int8_decode(meta, M, N, K, cfg: KernelConfig) -> bool:
         return False
     gs = _gs_eff(meta, K)
     if gs:
-        # grouped metadata: batched group dots (nibble kinds only — the
-        # grouped u8 batched form miscompiles Mosaic; W8+grouped stays bf16)
-        if kind != "nibble":
-            return False
         if bk % gs:
             return False
-        P = 8 // meta.W_nbits
-        t8 = gs // P
-        if t8 % 32:
-            return False  # int8 sublane tile is 32 rows
-        G = K // gs
-        c = bk // gs
-        if 1 < c < G and c % 8:
-            return False
+        if kind == "u8_packed":
+            # grouped W8: statically-unrolled flat per-group dots (the
+            # batched u8 group-dot form miscompiles Mosaic)
+            if gs % 32 or bk // gs > 16:
+                return False
+        elif kind == "nibble":
+            P = 8 // meta.W_nbits
+            t8 = gs // P
+            if t8 % 32:
+                return False  # int8 sublane tile is 32 rows
+            G = K // gs
+            c = bk // gs
+            if 1 < c < G and c % 8:
+                return False
+        else:
+            return False  # dense-int8 grouped (mode 2) stays on bf16 kernels
     else:
         if kind == "nibble":
             return False  # channel-wise nibble stays on the bf16 plane path
@@ -159,7 +167,35 @@ def _make_kernel(*, kind, W_nbits, W_group_mode, channel_scale_mode,
             ]
             bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
 
-        if grouped:
+        if grouped and kind == "u8_packed":
+            # flat per-group dots, statically unrolled over the c groups of
+            # this k block (the batched (c, gs) u8 form miscompiles Mosaic);
+            # each group's int part is complete before its f32 scale
+            x3 = x_ref[...]                                   # (bm, c, gs)
+            total = None
+            for g in range(c):
+                xg = x3[:, g, :]                              # (bm, gs)
+                wg = bg[g * gs:(g + 1) * gs, :]               # (gs, bn) int8
+                raw = jax.lax.dot_general(
+                    xg, wg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)         # (bm, bn)
+                xs = jnp.sum(xg.astype(jnp.int32), axis=1)[:, None]
+                if has_zeros:
+                    if zero_is_scalar:
+                        zg = z_ref[0, 0]
+                    else:
+                        zg = z_ref[pl.ds(k * c + g, 1), :].astype(jnp.int32)
+                    raw = raw + (off8 - zg) * xs
+                else:
+                    raw = raw + off8 * xs
+                if has_scales and W_group_mode in (2, 3):
+                    sg = s_ref[pl.ds(k * c + g, 1), :].astype(jnp.float32)
+                    contrib = raw.astype(jnp.float32) * sg
+                else:
+                    contrib = raw if int_acc else raw.astype(jnp.float32)
+                total = contrib if total is None else total + contrib
+            acc_ref[...] += total.astype(acc_ref.dtype)
+        elif grouped:
             xg = jnp.swapaxes(x_ref[...], 0, 1)               # (c, bm, gs)
             raw = jax.lax.dot_general(
                 xg, bg, (((2,), (1,)), ((0,), (0,))),

@@ -87,6 +87,42 @@ def test_w8_packed_scalar_zero_shift_bit_exact(M):
 
 @pytest.mark.parametrize("M", [1, 8])
 @pytest.mark.parametrize("gs", [64, 128])
+def test_w8_grouped_asym_int_zeros_exact(M, gs):
+    """Packed W8 + grouped scales + INT zeros (fma_mode=False): mode 3 via
+    statically-unrolled flat per-group int8 dots; each group's int part is
+    exact before its f32 scale."""
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 256, size=(N, K)).astype(np.uint8)
+    G = K // gs
+    scales = (rng.uniform(0.5, 1.5, (N, G)) * 2.0**-10).astype(np.float32)
+    zeros = rng.integers(0, 256, (N, G)).astype(np.float32)
+    layer = GemLiteLinear(8, gs, K, N, DType.INT8, DType.FP32,
+                          scaled_activations=True).pack(
+        codes, scales, zeros, fma_mode=False)
+    meta = layer.meta
+    assert (meta.W_group_mode, meta.channel_scale_mode) == (3, 2)
+
+    cfg = select_int8_decode_config(meta, M, N, K)
+    assert can_use_int8_decode(meta, M, N, K, cfg), (meta, cfg)
+
+    x = _x_int8(M, seed=8)
+    sx = (rng.uniform(0.5, 1.5, (M, 1)) * 2.0**-7).astype(np.float32)
+    y = pallas_int8_decode(jnp.asarray(x), layer.W_q, layer.scales,
+                           layer.zeros, jnp.asarray(sx), meta, cfg)
+
+    xg = x.reshape(M, G, gs).astype(np.int64)
+    wg = codes.reshape(N, G, gs).astype(np.int64)
+    raw_g = np.einsum("mgk,ngk->mgn", xg, wg)
+    xs_g = xg.sum(axis=2)
+    corr = raw_g - zeros.T[None].astype(np.int64) * xs_g[:, :, None]
+    want = (corr.astype(np.float32) * scales.T[None]).sum(axis=1) * sx
+    got = np.asarray(y, np.float32)
+    rel = np.max(np.abs(got - want)) / (np.mean(np.abs(want)) + 1e-9)
+    assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("M", [1, 8])
+@pytest.mark.parametrize("gs", [64, 128])
 def test_w4_grouped_asym_int_zeros_exact(M, gs):
     """Packed W4 + grouped scales + INT zeros (fma_mode=False): mode 3 via
     batched byte-plane group dots; the int part per group is exact."""
