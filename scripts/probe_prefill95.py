@@ -69,16 +69,22 @@ def main():
         variants = {"dense": lambda xx: (xx @ Wd),
                     "fallback": lambda xx: _dense_fallback_matmul(
                         xx, layer.W_q, layer.scales, layer.zeros, None, meta)}
-        for bf16 in (False, True):
-            for ns in (1, 2, 4):
-                cfg = KernelConfig(base.block_m, base.block_n, base.block_k,
-                                   build_bf16=bf16, n_sub=ns)
-                if not can_use_prefill_kernel(meta, M, N, K, cfg):
-                    continue
-                tag = f"bf16={int(bf16)},n_sub={ns}"
-                variants[tag] = (lambda cfg: lambda xx: pallas_prefill_matmul(
-                    xx, layer.W_q, layer.scales, layer.zeros, None, meta,
-                    cfg))(cfg)
+        for bk in (base.block_k, 2048, 1024):
+            for bn in (base.block_n, 1024):
+                for bf16 in (False, True):
+                    for ns in (1, 2, 4):
+                        cfg = KernelConfig(base.block_m, bn, bk,
+                                           build_bf16=bf16, n_sub=ns)
+                        if not can_use_prefill_kernel(meta, M, N, K, cfg):
+                            continue
+                        tag = f"bk={bk},bn={bn},bf16={int(bf16)},n_sub={ns}"
+                        if tag in variants:
+                            continue
+                        variants[tag] = (lambda cfg: lambda xx:
+                                         pallas_prefill_matmul(
+                                             xx, layer.W_q, layer.scales,
+                                             layer.zeros, None, meta,
+                                             cfg))(cfg)
         # chunked 2x2048 for M=4096
         if M == 4096:
             ccfg = select_prefill_config(meta, 2048, N, K)
