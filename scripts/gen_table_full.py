@@ -123,6 +123,14 @@ def main():
         n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
         print(f"  -> {n} entries", flush=True)
 
+    # optional: Llama-70B projection shapes (W4 gs=128 is the serving
+    # config that matters at that scale)
+    if "--llama70b" in sys.argv:
+        L70 = [(8192, 8192), (28672, 8192), (8192, 28672), (1024, 8192)]
+        for M in (1, 16, 512, 64, 2048, 256):
+            for shape in L70:
+                tune_one("W4 gs=128 70B", shape, 4, 128, M, None)
+
     n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
     print(f"FINAL: {n} entries in {out}", flush=True)
 
