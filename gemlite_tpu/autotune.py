@@ -143,8 +143,33 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
                                autotune_type_id(meta))
         x = jnp.asarray(rng.normal(size=(M, K)) * 0.1, x_dtype)
 
+        cands = _candidate_grid(eff, M, N, K, meta.group_size)
+        if M >= 2048:
+            # giant-M pseudo-candidate: the two-pass dense route (Pallas
+            # dequantize + dense MXU matmul). Storing it as a table entry
+            # makes the giant-M kernel-vs-fallback decision measured, not
+            # hardcoded (ops/dispatch.py giant-M branch).
+            cands.append(KernelConfig(0, 0, 0, route="fallback"))
+
         best_cfg, best_t = None, float("inf")
-        for cfg in _candidate_grid(eff, M, N, K, meta.group_size):
+        for cfg in cands:
+            if cfg.route == "fallback":
+                from .ops.dispatch import _dense_fallback_matmul
+                run = lambda xx: _dense_fallback_matmul(
+                    xx, layer.W_q, layer.scales, layer.zeros, None, meta)
+                try:
+                    run(x)
+                    dt = _bench_call(run, x)
+                except Exception as e:
+                    if verbose:
+                        logger.info("fallback rejected: %s", str(e)[:80])
+                    continue
+                if 0 < dt < best_t:
+                    best_cfg, best_t = cfg, dt
+                if verbose:
+                    logger.warning("M=%d %s %s: %.1f us", M, family, cfg,
+                                   dt * 1e6)
+                continue
             if not _vmem_ok(meta, cfg):
                 continue
             if M <= 64 and can_use_decode_kernel(meta, M, N, K, cfg):

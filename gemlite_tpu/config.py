@@ -69,12 +69,17 @@ class KernelConfig:
     the group-scale multiply picks up one bf16 rounding).
     ``n_sub``: split the prefill cache build into lane sub-columns so
     Mosaic's scheduler can interleave the VPU build of column h+1 with the
-    MXU dot of column h (the build is otherwise serial with the dots)."""
+    MXU dot of column h (the build is otherwise serial with the dots).
+    ``route``: non-kernel dispatch decision stored as a table entry;
+    ``"fallback"`` routes the shape through the two-pass dense path
+    (Pallas dequantize + dense MXU matmul) when the autotuner measured it
+    faster than any fused config (giant-M prefill regime)."""
     block_m: int
     block_n: int
     block_k: int
     build_bf16: bool = False
     n_sub: int = 1
+    route: str = ""
 
     def to_dict(self):
         d = asdict(self)
@@ -83,6 +88,8 @@ class KernelConfig:
             del d["build_bf16"]
         if d["n_sub"] == 1:
             del d["n_sub"]
+        if not d["route"]:
+            del d["route"]
         return d
 
     @classmethod
@@ -90,7 +97,8 @@ class KernelConfig:
         return cls(block_m=d["block_m"], block_n=d["block_n"],
                    block_k=d["block_k"],
                    build_bf16=bool(d.get("build_bf16", False)),
-                   n_sub=int(d.get("n_sub", 1)))
+                   n_sub=int(d.get("n_sub", 1)),
+                   route=str(d.get("route", "")))
 
 
 # family name -> {str(signature): config dict}

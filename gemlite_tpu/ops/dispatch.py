@@ -166,10 +166,19 @@ def _make_family_kernel(family: str):
                 return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
                                              meta, pcfg)
         elif M >= 4096:
-            # compute-bound giant-M regime: one fused XLA dequant pass to a
-            # dense bf16 matrix (~2 bytes/weight of extra traffic) then the
-            # full-rate dense MXU matmul — measured faster than chunked
-            # Pallas beyond M ~= 4096 (scripts/probe_prefill_tail2.py)
+            # compute-bound giant-M regime: default is one fused XLA dequant
+            # pass to a dense bf16 matrix then the full-rate dense MXU matmul
+            # — measured faster than chunked Pallas beyond M ~= 4096. A tuned
+            # table entry can override with a fused config the autotuner
+            # measured faster than the fallback pseudo-candidate.
+            if (cfg is not None and not cfg.route
+                    and can_use_prefill_kernel(meta, M, N, K, cfg)):
+                return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
+                                             meta, cfg)
+            return _dense_fallback_matmul(x, W_q, scales, zeros, scales_x, meta)
+        elif cfg is not None and cfg.route == "fallback":
+            # the autotuner measured the two-pass dense route faster than
+            # every fused candidate at this signature
             return _dense_fallback_matmul(x, W_q, scales, zeros, scales_x, meta)
         else:
             # prefill regime: dequant-once cached-block kernel

@@ -93,7 +93,8 @@ def main():
     ]
     # breadth-first: important M buckets across EVERY format/shape first, so
     # an interrupted run still leaves broad coverage
-    M_PRIORITY = (1, 16, 512, 64, 8, 128, 2048, 2, 4, 32, 256, 1024)
+    # 4096 last: the giant-M bucket tunes kernel-vs-dense-fallback routing
+    M_PRIORITY = (1, 16, 512, 64, 8, 128, 2048, 2, 4, 32, 256, 1024, 4096)
     for M in M_PRIORITY:
         for (label, shapes, W_nbits, gs, dt) in COMBOS:
             for shape in shapes:

@@ -67,6 +67,70 @@ def test_autotune_stores_and_dispatch_uses(monkeypatch):
     cfg_mod.reset_config()
 
 
+def test_fallback_route_table_entry(monkeypatch):
+    """A tuned route='fallback' entry sends mid-M prefill through the
+    two-pass dense path; a real fused entry at giant M sends it through the
+    kernel — both numerically correct (the giant-M kernel-vs-fallback
+    decision is measured, not hardcoded)."""
+    import jax
+
+    cfg_mod.reset_config()
+    layer = _make_layer()
+    meta = layer.meta
+    rng = np.random.default_rng(2)
+    W_deq = np.asarray(jax.jit(
+        lambda: __import__("gemlite_tpu.autograd", fromlist=["x"])
+        .dequantize_full(layer.W_q, layer.scales, layer.zeros, meta,
+                         dtype=jnp.float32))())
+
+    M = 128
+    sig = config_signature(m_bucket.get_closest_m(M), 256, 512, 64, 8,
+                           autotune_type_id(meta))
+    cfg_mod.store_config("GEMM", sig, KernelConfig(0, 0, 0, route="fallback"))
+    x = jnp.asarray(rng.normal(size=(M, 512)) * 0.2, jnp.bfloat16)
+    y = layer(x)
+    want = np.asarray(x, np.float32) @ W_deq
+    err = np.mean(np.abs(np.asarray(y, np.float32) - want))
+    assert err < 2e-2, err
+    cfg_mod.reset_config()
+
+    # round-trip: the route survives JSON serialization
+    cfg_mod.store_config("GEMM", "s", KernelConfig(0, 0, 0, route="fallback"))
+    d = cfg_mod.GEMLITE_TPU_CONFIG_CACHE["GEMM"]["s"]
+    assert KernelConfig.from_dict(d).route == "fallback"
+    cfg_mod.reset_config()
+
+
+def test_giant_m_tuned_kernel_entry(monkeypatch):
+    """With a fused table entry at the giant-M bucket, dispatch uses the
+    prefill kernel instead of the hardcoded dense fallback."""
+    import gemlite_tpu.ops.dispatch as dispatch_mod
+    import gemlite_tpu.ops.pallas_prefill as pp
+
+    cfg_mod.reset_config()
+    layer = _make_layer()
+    meta = layer.meta
+    M = 4096
+    sig = config_signature(m_bucket.get_closest_m(M), 256, 512, 64, 8,
+                           autotune_type_id(meta))
+    cfg_mod.store_config("GEMM", sig, KernelConfig(512, 256, 512))
+
+    called = {}
+    orig = pp.pallas_prefill_matmul
+
+    def spy(*a, **kw):
+        called["hit"] = True
+        return orig(*a, **kw)
+    monkeypatch.setattr(dispatch_mod, "pallas_prefill_matmul", spy)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(M, 512)) * 0.2, jnp.bfloat16)
+    y = layer(x)
+    assert called.get("hit"), "tuned giant-M entry did not route to the kernel"
+    assert y.shape == (M, 256)
+    cfg_mod.reset_config()
+
+
 def test_cache_config_roundtrip(tmp_path):
     cfg_mod.reset_config()
     cfg_mod.store_config("GEMM", "sig1", KernelConfig(64, 512, 1024))
