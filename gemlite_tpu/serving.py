@@ -36,6 +36,7 @@ Sampling: greedy or temperature (jax PRNG threaded through the engine).
 """
 
 import itertools
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, List, Optional
@@ -78,7 +79,8 @@ class ContinuousBatchingEngine:
                  prefill_chunk: Optional[int] = None,
                  draft: Optional[tuple] = None, spec_tokens: int = 4,
                  paged: bool = True, page_size: int = 128,
-                 total_pages: Optional[int] = None):
+                 total_pages: Optional[int] = None,
+                 prefix_cache: bool = True):
         from .models.llama import init_kv_cache
 
         self.params = params
@@ -130,6 +132,20 @@ class ContinuousBatchingEngine:
             self._table_dirty = False
         else:
             self.kv = init_kv_cache(cfg, max_batch)
+        # prefix caching (vLLM-style automatic prefix sharing): full prompt
+        # pages are registered under a token-content hash chain; a later
+        # prompt with the same prefix attaches those pages READ-ONLY (writes
+        # only ever land at cache positions >= the matched length, so no
+        # copy-on-write is needed) and prefills just the remainder through
+        # the chunked path. Pages are refcounted; refcount-0 cached pages
+        # are reclaimed LRU when the free list runs dry. Disabled when a
+        # speculative draft is attached (the dense draft cache would miss
+        # the skipped prefix).
+        self.use_prefix = bool(prefix_cache) and paged and draft is None
+        self.prefix_cache: "OrderedDict[int, int]" = OrderedDict()  # hash -> pid
+        self.page_refs: Dict[int, int] = {}                  # pid -> live slots
+        self.slot_shared: List[set] = [set() for _ in range(max_batch)]
+        self.prefix_stats = {"hit_pages": 0, "new_pages": 0}
         self.key = jax.random.PRNGKey(seed)
 
         # host-side slot state
@@ -163,6 +179,16 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     # paged-KV page allocator (host side)
     # ------------------------------------------------------------------
+    def _evict_prefix_pages(self) -> bool:
+        """Reclaim one LRU refcount-0 prefix-cached page to the free list."""
+        for h, pid in list(self.prefix_cache.items()):   # LRU first
+            if self.page_refs.get(pid, 0) == 0:
+                del self.prefix_cache[h]
+                self.page_refs.pop(pid, None)
+                self.free_pages.append(pid)
+                return True
+        return False
+
     def _ensure_pages(self, slot: int, n_tokens: int):
         """Grow the slot's page set to cover ``n_tokens`` cache positions."""
         if not self.paged:
@@ -170,7 +196,7 @@ class ContinuousBatchingEngine:
         need = -(-int(n_tokens) // self.page_size)
         own = self.slot_pages[slot]
         while len(own) < need:
-            if not self.free_pages:
+            if not self.free_pages and not self._evict_prefix_pages():
                 raise RuntimeError(
                     "paged KV pool exhausted — raise total_pages (the pool "
                     "is oversubscribed below the worst-case footprint)")
@@ -182,10 +208,75 @@ class ContinuousBatchingEngine:
     def _free_slot_pages(self, slot: int):
         if not self.paged or not self.slot_pages[slot]:
             return
-        self.free_pages.extend(self.slot_pages[slot])
+        shared = self.slot_shared[slot]
+        for pid in self.slot_pages[slot]:
+            if pid in shared:
+                # cached prefix page: another slot (or the cache itself, at
+                # refcount 0 pending LRU eviction) may still need it
+                self.page_refs[pid] = max(0, self.page_refs.get(pid, 1) - 1)
+            else:
+                self.free_pages.append(pid)
         self.slot_pages[slot] = []
+        self.slot_shared[slot] = set()
         self.page_table[slot, :] = 0          # stale writes land in trash
         self._table_dirty = True
+
+    # ---- prefix cache (host side) ------------------------------------
+    @staticmethod
+    def _chain_hashes(prompt, ps: int, n_pages: int):
+        h, out = 0, []
+        for i in range(n_pages):
+            h = hash((h, tuple(int(t) for t in prompt[i * ps:(i + 1) * ps])))
+            out.append(h)
+        return out
+
+    def _match_prefix(self, slot: int, prompt) -> int:
+        """Attach cached pages covering the longest token-exact prompt prefix
+        (full pages only; at least one token is left to prefill so the first
+        sampled token's logits exist). Returns the matched token count."""
+        ps = self.page_size
+        limit = (len(prompt) - 1) // ps
+        own = self.slot_pages[slot]
+        assert not own, "prefix attach on a non-empty slot"
+        for i, h in enumerate(self._chain_hashes(prompt, ps, limit)):
+            pid = self.prefix_cache.get(h)
+            if pid is None:
+                break
+            self.prefix_cache.move_to_end(h)                 # LRU touch
+            self.page_refs[pid] = self.page_refs.get(pid, 0) + 1
+            self.page_table[slot, i] = pid
+            own.append(pid)
+            self.slot_shared[slot].add(pid)
+            self._table_dirty = True
+            self.prefix_stats["hit_pages"] += 1
+        return len(own) * ps
+
+    def _register_prefix(self, slot: int, prompt):
+        """After a prompt's prefill completes, publish its full pages for
+        reuse (pages already attached from the cache re-register as no-ops:
+        same hash chain, entry already present)."""
+        if not self.use_prefix:
+            return
+        ps = self.page_size
+        full = len(prompt) // ps
+        own = self.slot_pages[slot]
+        for i, h in enumerate(self._chain_hashes(prompt, ps, full)):
+            if i >= len(own):
+                break
+            pid = own[i]
+            if h in self.prefix_cache:
+                continue                     # identical content cached first
+            if pid in self.slot_shared[slot]:
+                continue                     # attached page: already cached
+            self.prefix_cache[h] = pid
+            self.page_refs[pid] = self.page_refs.get(pid, 0) + 1
+            self.slot_shared[slot].add(pid)
+            self.prefix_stats["new_pages"] += 1
+
+    def prefix_cache_stats(self):
+        """{'hit_pages', 'new_pages', 'cached_pages'} since engine start."""
+        return dict(self.prefix_stats,
+                    cached_pages=len(self.prefix_cache))
 
     def _sync_table(self):
         if self.paged and self._table_dirty:
@@ -385,6 +476,16 @@ class ContinuousBatchingEngine:
                 continue
             req = self.queue.pop(0)
             prompt = np.asarray(req.prompt_tokens, np.int32).reshape(-1)
+            if self.use_prefix and len(prompt) > self.page_size:
+                matched = self._match_prefix(slot, prompt)
+                if matched:
+                    # cached prefix attached read-only; prefill only the
+                    # remainder through the chunked path at offset `matched`
+                    self.slot_req[slot] = req
+                    self.slot_len[slot] = matched
+                    self.slot_out[slot] = []
+                    self.slot_pending[slot] = prompt[matched:]
+                    continue
             if len(prompt) > self.buckets[-1]:
                 # longer than the largest one-shot bucket: ALWAYS chunk —
                 # even when prefill_chunk is set but larger than the prompt
@@ -420,6 +521,7 @@ class ContinuousBatchingEngine:
             self.slot_len[slot] = len(prompt)
             self.slot_out[slot] = [tok]
             self.slot_last[slot] = tok
+            self._register_prefix(slot, prompt)
             self._maybe_finish(slot, tok)
 
     def _advance_prefills(self):
@@ -453,6 +555,8 @@ class ContinuousBatchingEngine:
             tok = self._sample_first(req, logits)
             self.slot_out[slot] = [tok]
             self.slot_last[slot] = tok
+            self._register_prefix(
+                slot, np.asarray(req.prompt_tokens, np.int32).reshape(-1))
             self._maybe_finish(slot, tok)
 
     def _maybe_finish(self, slot: int, tok: int):

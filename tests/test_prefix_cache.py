@@ -1,0 +1,125 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Prefix caching: shared KV pages across requests with common prompt
+prefixes (vLLM-style automatic prefix sharing; net-new vs the reference,
+which delegates serving to vLLM — reference README.md:171-196).
+
+Invariants:
+  * outputs are EXACTLY those of an engine without the cache (sharing is
+    read-only; writes never land inside a matched prefix),
+  * a repeated prompt attaches cached pages (hit_pages grows) and skips
+    the shared portion of prefill,
+  * refcounts keep pages alive while any slot uses them,
+  * LRU eviction reclaims refcount-0 pages when the pool runs dry.
+"""
+
+import numpy as np
+import pytest
+
+from gemlite_tpu.models import LlamaConfig, init_llama, quantize_llama
+from gemlite_tpu.serving import ContinuousBatchingEngine, Request
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, head_dim=32, max_seq_len=64)
+    params = quantize_llama(init_llama(cfg, seed=0), W_nbits=4, group_size=32)
+    return params, cfg
+
+
+def _engine(model, prefix_cache, **kw):
+    params, cfg = model
+    kw.setdefault("max_batch", 2)
+    kw.setdefault("prefill_buckets", (8, 16, 32))
+    kw.setdefault("page_size", 8)
+    return ContinuousBatchingEngine(params, cfg, prefix_cache=prefix_cache,
+                                    **kw)
+
+
+def test_repeat_prompt_hits_cache_same_output(model):
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 128, size=21).tolist()   # 2 full pages + tail
+
+    base = _engine(model, prefix_cache=False)
+    want = base.generate([prompt], max_new_tokens=5)[0]
+
+    eng = _engine(model, prefix_cache=True)
+    out1 = eng.generate([prompt], max_new_tokens=5)[0]
+    assert eng.prefix_cache_stats()["new_pages"] == 2
+    assert eng.prefix_cache_stats()["hit_pages"] == 0
+    out2 = eng.generate([prompt], max_new_tokens=5)[0]
+    assert eng.prefix_cache_stats()["hit_pages"] == 2
+    assert out1 == want and out2 == want
+
+
+def test_shared_prefix_divergent_tails(model):
+    rng = np.random.default_rng(1)
+    prefix = rng.integers(0, 128, size=16).tolist()   # exactly 2 pages
+    tails = [rng.integers(0, 128, size=n).tolist() for n in (3, 7, 12)]
+    prompts = [prefix + t for t in tails]
+
+    base = _engine(model, prefix_cache=False)
+    want = base.generate(prompts, max_new_tokens=4)
+
+    eng = _engine(model, prefix_cache=True)
+    got = eng.generate(prompts, max_new_tokens=4)
+    assert got == want
+    assert eng.prefix_cache_stats()["hit_pages"] >= 2  # later prompts reuse
+
+
+def test_concurrent_sharers_and_refcounts(model):
+    rng = np.random.default_rng(2)
+    prefix = rng.integers(0, 128, size=16).tolist()
+    p1 = prefix + rng.integers(0, 128, size=3).tolist()
+    p2 = prefix + rng.integers(0, 128, size=5).tolist()
+
+    base = _engine(model, prefix_cache=False)
+    want = base.generate([p1, p2], max_new_tokens=8)
+
+    # max_batch=2: both slots run concurrently; p1 finishes first (its slot
+    # frees mid-run) while p2 keeps attending the shared prefix pages
+    eng = _engine(model, prefix_cache=True)
+    eng.submit(Request(prompt_tokens=p1, max_new_tokens=8))
+    eng.submit(Request(prompt_tokens=p2, max_new_tokens=8))
+    results = {tuple(r.prompt_tokens): r.output_tokens for r in eng.run()}
+    assert results[tuple(p1)] == want[0]
+    assert results[tuple(p2)] == want[1]
+    # after both finish, every cached page is refcount-0 (evictable), and
+    # the cache still holds the registered prefix pages
+    assert all(v == 0 for v in eng.page_refs.values())
+    assert eng.prefix_cache_stats()["cached_pages"] >= 2
+
+
+def test_eviction_under_small_pool(model):
+    rng = np.random.default_rng(3)
+    # pool of 9 usable pages (8 + trash) with slots needing up to 8 each:
+    # distinct prompts churn the cache, forcing LRU eviction of refcount-0
+    # prefix pages — everything still completes correctly
+    prompts = [rng.integers(0, 128, size=17 + i).tolist() for i in range(6)]
+
+    base = _engine(model, prefix_cache=False, max_batch=1)
+    want = [base.generate([p], max_new_tokens=3)[0] for p in prompts]
+
+    eng = _engine(model, prefix_cache=True, max_batch=1, total_pages=9)
+    got = [eng.generate([p], max_new_tokens=3)[0] for p in prompts]
+    assert got == want
+    # the pool is smaller than the total registered footprint, so eviction
+    # must have run (cache can hold at most the pool)
+    assert eng.prefix_cache_stats()["cached_pages"] <= 8
+
+
+def test_cached_admission_skips_prefix_prefill(model):
+    """The re-admitted prompt prefills only the remainder: slot_len jumps
+    straight to the matched page boundary at admission."""
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 128, size=20).tolist()
+    eng = _engine(model, prefix_cache=True)
+    eng.generate([prompt], max_new_tokens=2)
+
+    eng.submit(Request(prompt_tokens=prompt, max_new_tokens=2))
+    eng._admit()
+    slot = next(i for i, r in enumerate(eng.slot_req) if r is not None)
+    assert eng.slot_len[slot] == 16                 # 2 pages attached
+    assert len(eng.slot_pending[slot]) == 4         # only the tail remains
+    eng.run()
