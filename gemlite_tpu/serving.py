@@ -36,6 +36,7 @@ Sampling: greedy or temperature (jax PRNG threaded through the engine).
 """
 
 import itertools
+import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from functools import partial
@@ -62,6 +63,10 @@ class GenerationResult:
     prompt_tokens: List[int]
     output_tokens: List[int]
     finish_reason: str                       # "eos" | "length"
+    # serving metrics (host wall clock; see Engine.stats() for aggregates)
+    ttft_s: float = 0.0                      # submit -> first token
+    total_s: float = 0.0                     # submit -> finish
+    decode_tps: float = 0.0                  # tokens/s after the first token
 
 
 def _next_bucket(n: int, buckets) -> int:
@@ -156,6 +161,11 @@ class ContinuousBatchingEngine:
         self.slot_pending: List[Optional[np.ndarray]] = [None] * max_batch
         self.queue: List[Request] = []
         self.finished: List[GenerationResult] = []
+        # serving metrics: per-request [submit_ts, first_token_ts] + engine
+        # counters aggregated by stats()
+        self._req_times: Dict[int, List[Optional[float]]] = {}
+        self._counters = {"steps": 0, "decode_steps": 0, "spec_steps": 0,
+                          "tokens_out": 0, "start": time.monotonic()}
 
         # decode attention reads only the live-KV bucket (t_active static ->
         # one compiled program per power-of-two bucket, like prefill buckets)
@@ -456,6 +466,7 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"prompt length {n} >= max_seq_len {self.cfg.max_seq_len}; "
                 "the cache has no room for generated tokens")
+        self._req_times[request.request_id] = [time.monotonic(), None]
         self.queue.append(request)
 
     @property
@@ -521,6 +532,8 @@ class ContinuousBatchingEngine:
             self.slot_len[slot] = len(prompt)
             self.slot_out[slot] = [tok]
             self.slot_last[slot] = tok
+            self._mark_first_token(req)
+            self._counters["tokens_out"] += 1
             self._register_prefix(slot, prompt)
             self._maybe_finish(slot, tok)
 
@@ -555,9 +568,16 @@ class ContinuousBatchingEngine:
             tok = self._sample_first(req, logits)
             self.slot_out[slot] = [tok]
             self.slot_last[slot] = tok
+            self._mark_first_token(req)
+            self._counters["tokens_out"] += 1
             self._register_prefix(
                 slot, np.asarray(req.prompt_tokens, np.int32).reshape(-1))
             self._maybe_finish(slot, tok)
+
+    def _mark_first_token(self, req: Request):
+        t = self._req_times.get(req.request_id)
+        if t is not None and t[1] is None:
+            t[1] = time.monotonic()
 
     def _maybe_finish(self, slot: int, tok: int):
         req = self.slot_req[slot]
@@ -568,11 +588,19 @@ class ContinuousBatchingEngine:
         over_cap = int(self.slot_len[slot]) + len(self.slot_out[slot]) >= \
             self.cfg.max_seq_len - 1
         if done_eos or done_len or over_cap:
+            now = time.monotonic()
+            sub, first = self._req_times.pop(req.request_id, [now, None])
+            first = first if first is not None else now
+            n_out = len(self.slot_out[slot])
             self.finished.append(GenerationResult(
                 request_id=req.request_id,
                 prompt_tokens=list(np.asarray(req.prompt_tokens).reshape(-1)),
                 output_tokens=list(self.slot_out[slot]),
                 finish_reason="eos" if done_eos else "length",
+                ttft_s=first - sub,
+                total_s=now - sub,
+                decode_tps=((n_out - 1) / (now - first)
+                            if n_out > 1 and now > first else 0.0),
             ))
             self.slot_req[slot] = None
             self.slot_out[slot] = []
@@ -582,6 +610,7 @@ class ContinuousBatchingEngine:
     def step(self):
         """Admit pending requests, advance prompt chunks, then advance every
         decoding slot one token."""
+        self._counters["steps"] += 1
         self._admit()
         self._advance_prefills()
         # mid-prefill slots are not decoded; their batched-decode cache write
@@ -619,6 +648,7 @@ class ContinuousBatchingEngine:
             drafts = np.asarray(drafts)
             fix = np.asarray(fix)
             n_acc = np.asarray(n_acc)
+            self._counters["spec_steps"] += 1
             for slot in range(self.max_batch):
                 if not active[slot]:
                     continue
@@ -627,6 +657,7 @@ class ContinuousBatchingEngine:
                 for tok in emitted:
                     self.slot_out[slot].append(tok)
                     self.slot_last[slot] = tok
+                    self._counters["tokens_out"] += 1
                     self._maybe_finish(slot, tok)
                     if self.slot_req[slot] is None:  # finished mid-burst
                         break
@@ -645,13 +676,27 @@ class ContinuousBatchingEngine:
             jnp.asarray(active), self.key, jnp.asarray(temps),
             t_active=t_act)
         nxt = np.asarray(nxt)
+        self._counters["decode_steps"] += 1
         for slot in range(self.max_batch):
             if not active[slot]:
                 continue
             tok = int(nxt[slot])
             self.slot_out[slot].append(tok)
             self.slot_last[slot] = tok
+            self._counters["tokens_out"] += 1
             self._maybe_finish(slot, tok)
+
+    def stats(self) -> Dict[str, Any]:
+        """Engine-level serving metrics since construction: step counts,
+        emitted tokens, wall-clock throughput (host-timed; through-tunnel
+        dispatch overhead is included, so treat as end-to-end numbers)."""
+        c = dict(self._counters)
+        elapsed = time.monotonic() - c.pop("start")
+        c["elapsed_s"] = elapsed
+        c["tokens_per_s"] = c["tokens_out"] / elapsed if elapsed > 0 else 0.0
+        if self.paged and self.use_prefix:
+            c["prefix_cache"] = self.prefix_cache_stats()
+        return c
 
     def run(self, max_steps: int = 10_000) -> List[GenerationResult]:
         """Drive until every queued/active request finishes."""

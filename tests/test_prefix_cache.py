@@ -109,6 +109,24 @@ def test_eviction_under_small_pool(model):
     assert eng.prefix_cache_stats()["cached_pages"] <= 8
 
 
+def test_serving_metrics(model):
+    rng = np.random.default_rng(5)
+    eng = _engine(model, prefix_cache=True)
+    prompts = [rng.integers(0, 128, size=9).tolist() for _ in range(2)]
+    results = []
+    for p in prompts:
+        eng.submit(Request(prompt_tokens=p, max_new_tokens=4))
+    results = eng.run()
+    for r in results:
+        assert r.total_s >= r.ttft_s > 0.0
+        assert r.decode_tps > 0.0
+    s = eng.stats()
+    assert s["tokens_out"] == sum(len(r.output_tokens) for r in results)
+    assert s["decode_steps"] >= 3 and s["steps"] >= s["decode_steps"]
+    assert s["tokens_per_s"] > 0
+    assert "prefix_cache" in s
+
+
 def test_cached_admission_skips_prefix_prefill(model):
     """The re-admitted prompt prefills only the remainder: slot_len jumps
     straight to the matched page boundary at admission."""
