@@ -66,6 +66,10 @@ def main():
     n_tok = sum(len(r.output_tokens) for r in results)
     print(f"# {len(results)} finished, {n_tok} tokens in {dt:.1f}s "
           f"({n_tok/dt:.1f} tok/s incl. compilation)")
+    ttfts = sorted(r.ttft_s for r in results)
+    print(f"# ttft p50/p95: {ttfts[len(ttfts)//2]*1e3:.0f}/"
+          f"{ttfts[int(len(ttfts)*0.95)]*1e3:.0f} ms")
+    print(f"# engine stats: {eng.stats()}")
 
 
 if __name__ == "__main__":
