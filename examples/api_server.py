@@ -35,6 +35,7 @@ class EngineService:
         self.engine = engine
         self._lock = threading.Lock()
         self._waiters = {}            # request_id -> [threading.Event, result]
+        self._error = None            # fatal engine error: service is dead
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -46,7 +47,16 @@ class EngineService:
             with self._lock:
                 busy = self.engine.queue or self.engine.num_active
                 if busy:
-                    self.engine.step()
+                    try:
+                        self.engine.step()
+                    except Exception as e:  # engine state may be corrupt:
+                        # fail every waiter instead of dying silently
+                        self._error = e
+                        for w in self._waiters.values():
+                            w[1] = e
+                            w[0].set()
+                        self._waiters.clear()
+                        return
                     for r in self.engine.finished:
                         w = self._waiters.pop(r.request_id, None)
                         if w is not None:
@@ -57,15 +67,24 @@ class EngineService:
                 _t.sleep(0.005)
 
     def complete(self, prompt_tokens, max_tokens, temperature, timeout=300.0):
+        if self._error is not None:
+            raise RuntimeError(f"engine failed: {self._error}")
         req = self._Request(prompt_tokens=list(map(int, prompt_tokens)),
                             max_new_tokens=int(max_tokens),
                             temperature=float(temperature))
         waiter = [threading.Event(), None]
         with self._lock:
-            self._waiters[req.request_id] = waiter
+            # submit first: a rejected prompt must not leak a waiter entry
             self.engine.submit(req)
-        if not waiter[0].wait(timeout):
-            raise TimeoutError("generation timed out")
+            self._waiters[req.request_id] = waiter
+        try:
+            if not waiter[0].wait(timeout):
+                raise TimeoutError("generation timed out")
+        finally:
+            with self._lock:
+                self._waiters.pop(req.request_id, None)
+        if isinstance(waiter[1], Exception):
+            raise RuntimeError(f"engine failed: {waiter[1]}")
         return waiter[1]
 
     def stats(self):

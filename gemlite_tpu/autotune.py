@@ -178,6 +178,11 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
             elif M > 64 and can_use_prefill_kernel(meta, M, N, K, cfg):
                 run = lambda xx, c=cfg: pallas_prefill_matmul(
                     xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
+            elif M >= 4096:
+                # dispatch's giant-M branch only honors prefill-kernel
+                # configs (+ the fallback route) — timing any other kernel
+                # here would store a config dispatch can't reproduce
+                continue
             elif can_use_pallas(meta, M, N, K, cfg) and cfg.block_m >= 8:
                 run = lambda xx, c=cfg: pallas_fused_matmul(
                     xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)

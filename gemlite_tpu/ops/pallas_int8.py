@@ -115,10 +115,13 @@ def select_int8_decode_config(meta, M, N, K) -> KernelConfig:
         bm *= 2
     bn = next((c for c in (2048, 1024, 4096, 512, 256, 128) if N % c == 0), 0)
     gs = _gs_eff(meta, K)
+    u8 = _w_kind(meta) == "u8_packed"
     bk = 0
     for cand in (1024, 2048, 512, 4096, 256, 128):
         if K % cand or (gs and cand % gs):
             continue
+        if gs and u8 and cand // gs > 16:
+            continue  # grouped u8 is a static unroll of c flat dots
         bk = cand
         break
     return KernelConfig(block_m=bm, block_n=bn, block_k=bk)

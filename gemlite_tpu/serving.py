@@ -240,10 +240,20 @@ class ContinuousBatchingEngine:
             out.append(h)
         return out
 
+    def _remainder_chunk(self, rem: int) -> int:
+        """Padded chunk width for a prompt remainder: the remainder's bucket
+        (not the largest bucket — a 44-token tail must not cost a 2048-wide
+        program), or the configured fixed chunk."""
+        C = self.prefill_chunk or _next_bucket(max(rem, 1), self.buckets)
+        return min(C, self.buckets[-1])
+
     def _match_prefix(self, slot: int, prompt) -> int:
         """Attach cached pages covering the longest token-exact prompt prefix
         (full pages only; at least one token is left to prefill so the first
-        sampled token's logits exist). Returns the matched token count."""
+        sampled token's logits exist). The match is capped so the remainder's
+        padded chunk writes stay inside max_seq_len — a page-aligned (not
+        chunk-aligned) start could otherwise overflow the page table.
+        Returns the matched token count."""
         ps = self.page_size
         limit = (len(prompt) - 1) // ps
         own = self.slot_pages[slot]
@@ -259,6 +269,20 @@ class ContinuousBatchingEngine:
             self.slot_shared[slot].add(pid)
             self._table_dirty = True
             self.prefix_stats["hit_pages"] += 1
+        # drop trailing matches until the chunked remainder fits the cache:
+        # every chunk write spans the full padded width from a page-aligned
+        # offset, so matched + ceil(rem / C) * C must not exceed max_seq_len
+        while own:
+            matched = len(own) * ps
+            rem = len(prompt) - matched
+            C = self._remainder_chunk(rem)
+            if matched + (-(-rem // C)) * C <= self.cfg.max_seq_len:
+                break
+            pid = own.pop()
+            self.page_table[slot, len(own)] = 0
+            self.slot_shared[slot].discard(pid)
+            self.page_refs[pid] = max(0, self.page_refs.get(pid, 1) - 1)
+            self.prefix_stats["hit_pages"] -= 1
         return len(own) * ps
 
     def _register_prefix(self, slot: int, prompt):
@@ -542,11 +566,11 @@ class ContinuousBatchingEngine:
         auto-chunked admission of prompts longer than the largest bucket).
         The chunk width is capped at the largest bucket so chunk writes never
         exceed the cache length."""
-        C = min(self.prefill_chunk or self.buckets[-1], self.buckets[-1])
         for slot in range(self.max_batch):
             pend = self.slot_pending[slot]
             if pend is None:
                 continue
+            C = self._remainder_chunk(len(pend))
             chunk, rest = pend[:C], pend[C:]
             padded = np.zeros((1, C), np.int32)
             padded[0, :len(chunk)] = chunk

@@ -35,12 +35,25 @@ def test_reference_toplevel_imports():
 
 
 def test_reference_submodule_imports():
+    import sys
+
     import gemlite.core  # noqa: F401
     import gemlite.helper
+    import gemlite.serving          # statement-form import of a lazy module
+    import gemlite
     import gemlite_tpu
 
+    # the alias module itself must survive (not be replaced by gemlite_tpu)
+    assert sys.modules["gemlite"] is gemlite
+    assert gemlite.__name__ == "gemlite"
+    # submodules are the SAME objects under both names (identity holds)
     assert gemlite.helper is gemlite_tpu.helper
+    assert gemlite.serving is gemlite_tpu.serving
+    assert gemlite.models is gemlite_tpu.models
     from gemlite.helper import A16W4_HQQ_INT, A8W8_INT8_dynamic  # noqa: F401
+    from gemlite.serving import ContinuousBatchingEngine  # noqa: F401
+    # PEP 562: missing attributes raise AttributeError (hasattr stays sane)
+    assert not hasattr(gemlite, "definitely_not_a_module")
 
 
 def test_alias_layer_forward():

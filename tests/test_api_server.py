@@ -97,3 +97,21 @@ def test_bad_request(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(port, "/v1/completions", {"max_tokens": 4})
     assert ei.value.code == 400
+
+
+def test_rejected_prompt_does_not_leak_waiters_or_kill_service(server):
+    """A submit-time rejection (empty prompt) returns 400, leaves no waiter
+    entry behind, and the service keeps completing valid requests."""
+    port, make_engine = server
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, "/v1/completions", {"prompt_tokens": [], "max_tokens": 4})
+    assert ei.value.code == 400
+
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 128, size=6).tolist()
+    want = make_engine().generate([prompt], max_new_tokens=3)[0]
+    got = _post(port, "/v1/completions",
+                {"prompt_tokens": prompt, "max_tokens": 3})
+    assert got["output_tokens"] == want

@@ -157,6 +157,24 @@ def test_w4_grouped_asym_int_zeros_exact(M, gs):
     assert rel < 1e-5, rel
 
 
+def test_w8_grouped_selector_respects_unroll_bound():
+    """gs=32 on a deep K: the selector must pick a bk with bk//gs <= 16 so
+    can_use accepts its own selection (previously bk=1024 -> c=32, and the
+    exact path silently fell back to the bf16 kernels)."""
+    rng = np.random.default_rng(9)
+    Kd = 4096
+    codes = rng.integers(0, 256, size=(N, Kd)).astype(np.uint8)
+    G = Kd // 32
+    scales = (rng.uniform(0.5, 1.5, (N, G)) * 2.0**-10).astype(np.float32)
+    zeros = rng.integers(0, 256, (N, G)).astype(np.float32)
+    layer = GemLiteLinear(8, 32, Kd, N, DType.INT8, DType.FP32,
+                          scaled_activations=True).pack(
+        codes, scales, zeros, fma_mode=False)
+    cfg = select_int8_decode_config(layer.meta, 8, N, Kd)
+    assert cfg.block_k // 32 <= 16, cfg
+    assert can_use_int8_decode(layer.meta, 8, N, Kd, cfg), (layer.meta, cfg)
+
+
 def test_dispatch_routes_int8_layers():
     """The full forward path uses the exact kernel for INT8 layers (and the
     layer does not fold its packing)."""

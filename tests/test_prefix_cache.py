@@ -109,6 +109,31 @@ def test_eviction_under_small_pool(model):
     assert eng.prefix_cache_stats()["cached_pages"] <= 8
 
 
+def test_long_prompt_rematch_near_cache_cap(model):
+    """A re-admitted prompt whose match ends page-aligned near max_seq_len
+    must cap the match so the remainder's padded chunk stays inside the
+    cache (previously: page-table IndexError on the second admission)."""
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 128, size=60).tolist()   # max_seq_len=64, ps=8
+
+    base = _engine(model, prefix_cache=False)
+    want = base.generate([prompt], max_new_tokens=3)[0]
+
+    eng = _engine(model, prefix_cache=True)
+    out1 = eng.generate([prompt], max_new_tokens=3)[0]
+    out2 = eng.generate([prompt], max_new_tokens=3)[0]   # crashed before fix
+    assert out1 == want and out2 == want
+
+
+def test_remainder_chunk_is_bucketed(model):
+    """The cached-admission remainder prefills in its own bucket, not the
+    largest one (a 4-token tail must not pad to a 32-wide program)."""
+    eng = _engine(model, prefix_cache=True)
+    assert eng._remainder_chunk(4) == 8
+    assert eng._remainder_chunk(17) == 32
+    assert eng._remainder_chunk(100) == 32    # capped at buckets[-1]
+
+
 def test_serving_metrics(model):
     rng = np.random.default_rng(5)
     eng = _engine(model, prefix_cache=True)
