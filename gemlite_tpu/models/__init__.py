@@ -7,6 +7,8 @@ from .llama import (
     llama_forward,
     llama_prefill,
     llama_decode_step,
+    llama_decode_step_batched,
+    llama_verify_step,
     init_kv_cache,
     train_step,
 )

@@ -15,9 +15,8 @@ jit/pjit-friendly, with
     embeddings and lm_head via the straight-through custom VJP.
 """
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Optional
+from dataclasses import dataclass
+from typing import Any, Dict
 
 import numpy as np
 import jax
@@ -31,7 +30,8 @@ from ..helper import _warmup_quantize
 __all__ = [
     "LlamaConfig", "init_llama", "quantize_llama", "shard_llama",
     "llama_forward", "llama_prefill", "llama_decode_step",
-    "llama_decode_step_batched", "init_kv_cache", "train_step",
+    "llama_decode_step_batched", "llama_verify_step",
+    "init_kv_cache", "train_step",
 ]
 
 
@@ -102,7 +102,7 @@ def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
     """Replace every block linear (and optionally lm_head) with a packed
     GemLiteLinear via `processor.from_weights` (defaults to HQQ-style
     asymmetric grouped quantization at the given bit width)."""
-    from ..helper import A16W4_HQQ_INT, A16Wn_HQQ_INT
+    from ..helper import A16Wn_HQQ_INT
 
     if processor is None:
         processor = A16Wn_HQQ_INT(W_nbits=W_nbits)
@@ -154,8 +154,10 @@ def shard_llama(params: Dict, mesh: Mesh, axis: str = "tp") -> Dict:
                  put(zeros, zspec),
                  put(bias, P(axis) if mode == "column" else P())),
             )
-        # dense (N, K) matrix
-        return put(layer, col if mode == "column" else P(None, axis))
+        # dense (N, K) matrix: column-parallel shards the output dim N
+        # (dim 0), row-parallel the reduction dim K (dim 1) — note this is
+        # TRANSPOSED vs the packed (K//e, N) layout above
+        return put(layer, P(axis, None) if mode == "column" else P(None, axis))
 
     out = dict(params)
     out["embed"] = put(params["embed"], P(axis, None))
@@ -232,7 +234,7 @@ def _attention(q, k, v, mask):
     return out.reshape(B, S, Hq, D).astype(v.dtype)
 
 
-def _can_use_flash(q, k) -> bool:
+def _can_use_flash(q) -> bool:
     """Prefill flash-attention gate: TPU backend, flash-friendly shapes."""
     B, S, Hq, D = q.shape
     return (jax.default_backend() == "tpu"
@@ -252,10 +254,12 @@ def _attention_flash_causal(q, k, v):
     if rep > 1:
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    # (B, S, H, D) -> (B, H, S, D)
-    qt = q.swapaxes(1, 2).astype(jnp.float32)
-    kt = k.swapaxes(1, 2).astype(jnp.float32)
-    vt = v.swapaxes(1, 2).astype(jnp.float32)
+    # (B, S, H, D) -> (B, H, S, D); keep the model dtype (bf16) — the kernel
+    # accumulates in f32 internally, and an f32 upcast would quadruple the
+    # HBM bytes the O(S) flash path exists to save
+    qt = q.swapaxes(1, 2)
+    kt = k.swapaxes(1, 2)
+    vt = v.swapaxes(1, 2).astype(kt.dtype)
     out = flash_attention(qt, kt, vt, causal=True, sm_scale=1.0 / np.sqrt(D))
     return out.swapaxes(1, 2).astype(v.dtype)
 
@@ -290,7 +294,7 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
             pos = jnp.broadcast_to(pos, (B, S))
         kv = paged_write(kv, layer_idx, k, v, pos)
         is_prefill = S > 1 and isinstance(cache_len, int) and cache_len == 0
-        if is_prefill and _can_use_flash(q, k):
+        if is_prefill and _can_use_flash(q):
             attn = _attention_flash_causal(q, k, v).reshape(B, S, -1)
         elif S == 1 and per_slot:
             attn = paged_decode_attention(
@@ -341,7 +345,7 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
         # flash path requires a statically-known zero cache offset (causal)
         is_prefill = (kv is None) or (S > 1 and isinstance(cache_len, int)
                                       and cache_len == 0)
-        if is_prefill and _can_use_flash(q, k):
+        if is_prefill and _can_use_flash(q):
             # cache_len == 0 on the prefill path: causal over the first S
             # cache entries == causal over k/v directly (tail is masked)
             attn = _attention_flash_causal(q, k, v).reshape(B, S, -1)
@@ -369,7 +373,12 @@ def llama_forward(params, cfg: LlamaConfig, tokens, kv=None, cache_len=0,
     activation footprint and the collective volume for long sequences."""
     B, S = tokens.shape
     if positions is None:
-        positions = cache_len + jnp.arange(S)[None, :].astype(jnp.int32)
+        # cache_len may be scalar or per-slot (B,): align it against B,
+        # never against S (a (B,)+(1,S) broadcast would misassign offsets)
+        off = jnp.asarray(cache_len, jnp.int32)
+        if off.ndim == 1:
+            off = off[:, None]
+        positions = off + jnp.arange(S, dtype=jnp.int32)[None, :]
         positions = jnp.broadcast_to(positions, (B, S))
     x = params["embed"][tokens]
 
@@ -421,10 +430,6 @@ def llama_decode_step_batched(params, cfg, token, kv, cache_lens,
 # ---------------------------------------------------------------------------
 # Training (QLoRA-style: frozen packed weights, train norms/embed/lm_head)
 # ---------------------------------------------------------------------------
-
-def _trainable_filter(path_leaf):
-    return not isinstance(path_leaf, GemLiteLinear)
-
 
 def loss_fn(params, cfg, tokens, targets):
     logits = llama_forward(params, cfg, tokens)

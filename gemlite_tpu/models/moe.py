@@ -36,10 +36,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
-from ..core import GemLiteLinear
-from ..autograd import apply_linear
 from ..helper import _warmup_quantize
 
 __all__ = ["MoEConfig", "init_moe", "quantize_moe", "shard_moe", "moe_forward",
@@ -105,13 +103,12 @@ def shard_moe(params, mesh: Mesh, axis: str = "ep"):
 
 
 def _expert_apply(ex, x):
-    g = apply_linear(ex["gate"], x) if isinstance(ex["gate"], GemLiteLinear) \
-        else x @ ex["gate"].T.astype(x.dtype)
-    u = apply_linear(ex["up"], x) if isinstance(ex["up"], GemLiteLinear) \
-        else x @ ex["up"].T.astype(x.dtype)
+    from .llama import _apply   # shared dense-or-quantized dispatch
+
+    g = _apply(ex["gate"], x)
+    u = _apply(ex["up"], x)
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
-    return apply_linear(ex["down"], h) if isinstance(ex["down"], GemLiteLinear) \
-        else h @ ex["down"].T.astype(h.dtype)
+    return _apply(ex["down"], h)
 
 
 def _routing_weights(router_w, x, num_experts, top_k):
@@ -143,7 +140,7 @@ def moe_forward(params, cfg: MoEConfig, x, mesh: Optional[Mesh] = None,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(None, None), P(None, None)),
-             out_specs=P(None, None), check_rep=False)
+             out_specs=P(None, None), check_vma=False)
     def run(local_experts, router_rep, x_rep):
         base = jax.lax.axis_index(axis) * e_local
         w = _routing_weights(router_rep, x_rep, E, cfg.top_k)
@@ -199,7 +196,7 @@ def moe_forward_a2a(params, cfg: MoEConfig, x, mesh: Mesh, axis: str = "ep",
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), P(None, None), P(axis, None)),
-             out_specs=P(axis, None), check_rep=False)
+             out_specs=P(axis, None), check_vma=False)
     def run(local_experts, router_rep, x_loc):
         x_loc = x_loc.reshape(T_loc, -1)
         H = x_loc.shape[1]

@@ -21,7 +21,7 @@ from typing import Callable, List, Sequence
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["stack_stages", "pipeline_apply", "split_stages"]
 
@@ -79,7 +79,7 @@ def pipeline_apply(stage_params, block_fn: Callable, x, mesh: Mesh,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), other_specs),
-             out_specs=P(axis), check_rep=False)
+             out_specs=P(axis), check_vma=False)
     def run(stage_blocks, xs_rep):
         my_blocks = jax.tree_util.tree_map(lambda a: a[0], stage_blocks)
         idx = jax.lax.axis_index(axis)

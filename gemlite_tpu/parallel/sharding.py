@@ -18,7 +18,6 @@ each device executes the same single-chip Pallas kernel on its shard, and XLA
 overlaps the collective epilogue with the matmul across layers.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -65,11 +64,19 @@ def check_shard_alignment(layer: GemLiteLinear, tp: int, mode: str):
         if 1 < gs < meta.in_features:
             assert K_shard % gs == 0, \
                 f"K shard {K_shard} must be a multiple of group_size {gs}"
-        elif getattr(meta, "w_layout", 0):
-            # channel-wise folded layout: shards must contain whole 512-code
-            # fold units (core._plane_fold_unit) or the per-shard unfold breaks
-            assert K_shard % 512 == 0, \
-                f"K shard {K_shard} must be a multiple of the 512 fold unit"
+        if getattr(meta, "w_layout", 0):
+            # folded layout: shards must contain whole fold units or the
+            # per-shard unfold decodes permuted codes. The unit is NOT
+            # always group_size: NVFP4 folds on pair-fused 32-blocks
+            # (gs=16) and channel-wise layers on fixed 512-code units
+            # (core._plane_fold_unit).
+            try:
+                F = layer._plane_fold_unit(32) or 512
+            except Exception:
+                F = 512
+            assert K_shard % F == 0, \
+                f"K shard {K_shard} must be a multiple of the {F}-code " \
+                f"fold unit"
         if layer.scales is not None and layer.scales.ndim == 2 and layer.scales.shape[0] > 1:
             assert layer.scales.shape[0] % tp == 0, \
                 "scales group rows must divide evenly across shards"

@@ -88,3 +88,43 @@ def test_sharded_model_matches_single(qparams):
     ls = jax.jit(lambda p, t: llama_forward(p, CFG, t))(sparams, tokens).astype(jnp.float32)
     err = float(jnp.mean(jnp.abs(lq - ls)))
     assert err < 5e-3, err
+
+
+def test_per_slot_cache_len_positions(qparams):
+    """llama_forward with a per-slot (B,) cache_len must align offsets
+    against B, not S (previously misbroadcast: crashed for B != S and used
+    the wrong slot's offset for B == S)."""
+    from gemlite_tpu.models.llama import init_kv_cache as _init_kv
+
+    B, S = 2, 3
+    tokens = _tokens(B, S)
+    kv = _init_kv(CFG, B)
+    lens = jnp.asarray([3, 7], jnp.int32)
+    logits, _ = llama_forward(qparams, CFG, tokens, kv=kv, cache_len=lens)
+
+    # explicit positions built the correct way are the ground truth
+    pos = lens[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    kv2 = _init_kv(CFG, B)
+    want, _ = llama_forward(qparams, CFG, tokens, kv=kv2, cache_len=lens,
+                            positions=pos)
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(want, np.float32), rtol=1e-5)
+
+
+def test_dense_shard_specs_follow_megatron_layout(params):
+    """Dense (unquantized) layers: column-parallel shards the OUTPUT dim
+    (dim 0 of the (N, K) matrix), row-parallel the reduction dim (dim 1) —
+    previously both arms sharded K."""
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sharded = shard_llama(params, mesh, "tp")
+    blk = sharded["blocks"][0]
+
+    def dim_sharded(a):
+        spec = a.sharding.spec
+        return [i for i, s in enumerate(spec) if s is not None]
+
+    assert dim_sharded(blk["attn"]["wq"]) == [0]     # column: N sharded
+    assert dim_sharded(blk["mlp"]["gate"]) == [0]
+    assert dim_sharded(blk["attn"]["wo"]) == [1]     # row: K sharded
+    assert dim_sharded(blk["mlp"]["down"]) == [1]
