@@ -24,7 +24,6 @@ from .config import (
     AUTOTUNE,
     KernelConfig,
     config_signature,
-    lookup_config,
     store_config,
 )
 from .dtypes import DType, to_jax_dtype, is_mx_dtype
@@ -102,7 +101,10 @@ def _bench_call(fn, x, n1=100, n2=400, repeats=3):
         def body(i, c):
             xx = x + (c * jnp.asarray(1e-30, jnp.float32)).astype(x.dtype)
             y = fn(xx)
-            return y.astype(jnp.float32).ravel()[0] * 1e-12
+            # consume the FULL output: a [0] slice lets XLA DCE
+            # most of the pure-XLA fallback candidate, biasing the
+            # fused-vs-fallback comparison (Pallas calls are opaque)
+            return jnp.sum(y.astype(jnp.float32)) * 1e-12
         return lax.fori_loop(0, n, body, jnp.float32(0))
 
     float(loop(x, n2))  # compile + warm
@@ -142,6 +144,16 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
                                meta.group_size, meta.elements_per_sample,
                                autotune_type_id(meta))
         x = jnp.asarray(rng.normal(size=(M, K)) * 0.1, x_dtype)
+        is_int8 = DType(meta.input_dtype) == DType.INT8
+        x_i8 = sx_ones = None
+        if is_int8 and M <= 64:
+            from .ops.pallas_int8 import (can_use_int8_decode,
+                                          pallas_int8_decode,
+                                          select_int8_decode_config)
+            x_i8 = jnp.asarray(rng.integers(-128, 128, size=(M, K)), jnp.int8)
+            sx_ones = jnp.ones((M, 1), jnp.float32)
+            int8_heur_ok = can_use_int8_decode(
+                meta, M, N, K, select_int8_decode_config(meta, M, N, K))
 
         cands = _candidate_grid(eff, M, N, K, meta.group_size)
         if M >= 2048:
@@ -172,10 +184,32 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
                 continue
             if not _vmem_ok(meta, cfg):
                 continue
-            if M <= 64 and can_use_decode_kernel(meta, M, N, K, cfg):
+            # mirror dispatch's kernel precedence EXACTLY: storing a config
+            # timed on a kernel dispatch would not run for it makes the
+            # table entry meaningless (or worse than the heuristic)
+            xb = x
+            if M <= 64 and is_int8:
+                if can_use_int8_decode(meta, M, N, K, cfg):
+                    run = lambda xx, c=cfg: pallas_int8_decode(
+                        xx, layer.W_q, layer.scales, layer.zeros, sx_ones,
+                        meta, c)
+                    xb = x_i8
+                elif int8_heur_ok:
+                    # dispatch would ignore this cfg and run the heuristic
+                    # int8 config instead — nothing meaningful to measure
+                    continue
+                elif can_use_decode_kernel(meta, M, N, K, cfg):
+                    run = lambda xx, c=cfg: pallas_decode_matmul(
+                        xx, layer.W_q, layer.scales, layer.zeros, None,
+                        meta, c)
+                else:
+                    continue
+            elif M <= 64 and can_use_decode_kernel(meta, M, N, K, cfg):
                 run = lambda xx, c=cfg: pallas_decode_matmul(
                     xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
-            elif M > 64 and can_use_prefill_kernel(meta, M, N, K, cfg):
+            elif can_use_prefill_kernel(meta, M, N, K, cfg):
+                # dispatch tries the prefill kernel both in the prefill
+                # regime and as the M <= 64 fallback (NVFP4)
                 run = lambda xx, c=cfg: pallas_prefill_matmul(
                     xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
             elif M >= 4096:
@@ -189,8 +223,8 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
             else:
                 continue
             try:
-                run(x)  # compile check
-                dt = _bench_call(run, x)
+                run(xb)  # compile check
+                dt = _bench_call(run, xb)
             except Exception as e:  # config rejected by Mosaic
                 if verbose:
                     logger.info("cfg %s rejected: %s", cfg, str(e)[:80])

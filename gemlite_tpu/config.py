@@ -35,7 +35,9 @@ class AUTOTUNE:
 
 class KERNEL:
     ENABLE_CACHING = True
-    CACHE_SIZE = 512  # max in-memory entries
+    CACHE_SIZE = 512  # API parity with the reference KERNEL class
+                      # (its rotating-output cache bound); the TPU
+                      # config table keeps all entries, no eviction
 
 
 def set_autotune(config, use_cuda_graph: bool = None):  # use_cuda_graph: API parity, no-op on TPU
@@ -144,15 +146,16 @@ def store_config(family: str, sig: str, cfg: KernelConfig):
 
 def cache_config(filename: str):
     """Merge the in-memory cache into a JSON file (reference core.py:559-598)."""
-    try:
-        with _FILE_LOCK, open(filename, "r") as f:
-            config = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        config = {}
-    for name, entries in GEMLITE_TPU_CONFIG_CACHE.items():
-        config.setdefault(name, {}).update(entries)
-    with _FILE_LOCK, open(filename, "w") as f:
-        json.dump(config, f)
+    with _FILE_LOCK:   # one critical section: a concurrent writer's read
+        try:            # must not interleave with our merge+write
+            with open(filename, "r") as f:
+                config = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            config = {}
+        for name, entries in GEMLITE_TPU_CONFIG_CACHE.items():
+            config.setdefault(name, {}).update(entries)
+        with open(filename, "w") as f:
+            json.dump(config, f)
 
 
 def load_config(filename: str, print_error: bool = True, overwrite: bool = False) -> bool:

@@ -15,9 +15,6 @@ optional dynamic activation quantization -> matmul-type selection by flattened
 batch size -> fused dequant+matmul kernel -> bias add.
 """
 
-import json
-import logging
-import threading
 from typing import NamedTuple, Optional
 
 import jax
@@ -39,8 +36,6 @@ from .quant import (
     scale_activations_nvfp4,
 )
 
-logger = logging.getLogger(__name__)
-_FILE_LOCK = threading.Lock()
 
 # ---------------------------------------------------------------------------
 # Accumulator policy. TPU MXU natively accumulates fp32 (and int32 for int8
@@ -394,6 +389,10 @@ class GemLiteLinear:
         # --- MX scale storage: e8m0 (as uint8 bits) / fp8-e4m3, mode 2 ------
         # The float8_e8m0fnu dtype is rejected by the TPU compiler, so e8m0
         # scales are stored as their exponent bits in uint8 throughout.
+        if is_mx_dtype(self.input_dtype) and self.scales is None:
+            raise ValueError(
+                f"{self.input_dtype} layers require block scales: pack() "
+                "expects the e8m0/fp8 scales produced by WeightQuantizerMXFP")
         if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4):
             from .quant import _f32_pow2_to_e8m0_bits
             if self.scales.dtype == jnp.uint8:
@@ -477,6 +476,21 @@ class GemLiteLinear:
         K = self.in_features
         n_planes = 2 if self.W_nbits == 8 else 16 // self.W_nbits
         fold_gs = self._plane_fold_unit(self.packing_bitwidth or 32)
+        if fold_gs is None and self.channel_scale_mode == 4:
+            # csm 4 is set POST-pack by the dynamic-MX processors
+            # (mx.py A4W4_MXFP/NVFP/A8Wn post_scale=False); the stored
+            # layout was folded when csm was still 0 — recompute with the
+            # override masked so export matches what pack() actually did
+            saved = self.channel_scale_mode
+            try:
+                self.channel_scale_mode = 0
+                fold_gs = self._plane_fold_unit(self.packing_bitwidth or 32)
+            finally:
+                self.channel_scale_mode = saved
+        if fold_gs is None:
+            raise ValueError(
+                "cannot derive the fold unit for this folded layer "
+                "(post-pack metadata override?) — export is ambiguous")
         codes = unpack_over_rows(self.W_q, self.W_nbits, K).T  # (N, K)
         codes = unfold_codes_for_planes(codes, n_planes, fold_gs)
         self.W_q, _ = pack_weights_over_cols(

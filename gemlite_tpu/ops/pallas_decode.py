@@ -36,7 +36,6 @@ Supported here: packed W in {1,2,4} bits (int32 words), float activations
 zeros. Everything else falls back to the general kernel (pallas_gemm.py).
 """
 
-import functools
 from typing import Optional
 
 import jax

@@ -24,7 +24,6 @@ uses a broadcast-shift-mask + sublane-interleave reshape, which Mosaic lowers
 without gathers; int8 activations take the int8xint8->int32 MXU path.
 """
 
-import functools
 from typing import Optional
 
 import jax
@@ -309,6 +308,10 @@ def pallas_fused_matmul(x, W_q, scales, zeros, scales_x, meta,
         and meta.W_group_mode in (0, 1)
         and (meta.W_group_mode == 0 or meta.zero_is_scalar)
         and acc_is_int
+        # packed W8 codes span 0..255: (code - z) only fits int8 when z is
+        # exactly 128, which is not statically knowable — sub-byte codes
+        # and native int8 weights always fit
+        and (meta.elements_per_sample == 1 or meta.W_nbits < 8)
     )
     if int_path:
         compute_jdtype, acc_jdtype = jnp.int8, jnp.int32

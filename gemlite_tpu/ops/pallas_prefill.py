@@ -25,7 +25,6 @@ x is pre-permuted outside the kernel to plane-major-within-group order
 on contraction order without any sublane interleave.
 """
 
-import functools
 from typing import Optional
 
 import jax

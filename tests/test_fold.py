@@ -103,3 +103,24 @@ def test_state_dict_roundtrip_preserves_layout():
     x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 512)) * 0.2,
                     jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(layer(x)), np.asarray(l2(x)))
+
+
+def test_to_reference_layout_dynamic_mx_csm4():
+    """Dynamic-MX processors set channel_scale_mode=4 AFTER pack(); export
+    must recompute the fold unit with that override masked (previously:
+    TypeError via a None fold unit)."""
+    import numpy as np
+    from gemlite_tpu.mx import A4W4_MXFP_dynamic
+
+    rng = np.random.default_rng(0)
+
+    class _Lin:
+        weight = (rng.normal(size=(256, 256)) * 0.05).astype(np.float32)
+        bias = None
+
+    layer = A4W4_MXFP_dynamic().from_linear(_Lin(), del_orig=False)
+    assert layer.meta.channel_scale_mode == 4
+    if not getattr(layer, "w_layout", 0):
+        return  # nothing folded for this config — export trivially fine
+    layer.to_reference_layout()            # must not raise
+    assert layer.w_layout == 0
