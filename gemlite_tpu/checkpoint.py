@@ -19,6 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from .core import GemLiteLinear
+from .dtypes import _NPZ_BIT_VIEWS as _BIT_MARKERS
+from .dtypes import npz_decode_array, npz_encode_array
 
 __all__ = ["save_model", "load_model"]
 
@@ -36,9 +38,12 @@ def _esc(key: str) -> str:
 def _flatten(obj, path, arrays, manifest):
     if isinstance(obj, GemLiteLinear):
         sd = obj.state_dict()
-        manifest[path] = {_GEMLITE_TAG: sorted(sd.keys())}
-        for k, v in sd.items():
-            arrays[f"{path}/{_esc(k)}"] = np.asarray(v)
+        # per-key dtype markers: scales/zeros/bias are commonly bf16 and
+        # W_q can be fp8 — np.savez degrades ml_dtypes to raw void records
+        tag = {}
+        for k in sorted(sd.keys()):
+            arrays[f"{path}/{_esc(k)}"], tag[k] = npz_encode_array(sd[k])
+        manifest[path] = {_GEMLITE_TAG: tag}
     elif isinstance(obj, dict):
         manifest[path] = {"dict": sorted(obj.keys())}
         for k in obj:
@@ -50,20 +55,19 @@ def _flatten(obj, path, arrays, manifest):
     elif obj is None:
         manifest[path] = {"none": True}
     else:
-        arr = np.asarray(obj)
-        manifest[path] = {"array": str(arr.dtype)}
-        # bf16 has no numpy dtype: store bits with a marker
-        if arr.dtype == jnp.bfloat16:
-            arrays[path] = np.asarray(jnp.asarray(obj).view(jnp.uint16))
-            manifest[path] = {"array": "bfloat16"}
-        else:
-            arrays[path] = arr
+        arrays[path], marker = npz_encode_array(obj)
+        manifest[path] = {"array": marker or str(arrays[path].dtype)}
 
 
 def _unflatten(path, arrays, manifest):
     node = manifest[path]
     if _GEMLITE_TAG in node:
-        sd = {k: arrays[f"{path}/{_esc(k)}"] for k in node[_GEMLITE_TAG]}
+        tag = node[_GEMLITE_TAG]
+        if isinstance(tag, dict):
+            sd = {k: npz_decode_array(arrays[f"{path}/{_esc(k)}"], m)
+                  for k, m in tag.items()}
+        else:  # legacy manifests: plain key list, native numpy dtypes
+            sd = {k: arrays[f"{path}/{_esc(k)}"] for k in tag}
         layer = GemLiteLinear.__new__(GemLiteLinear)
         layer.bias = None
         layer.load_state_dict(sd)
@@ -79,10 +83,9 @@ def _unflatten(path, arrays, manifest):
                      for i in range(node["tuple"]))
     if "none" in node:
         return None
-    arr = arrays[path]
-    if node["array"] == "bfloat16":
-        return jnp.asarray(arr).view(jnp.bfloat16)
-    return jnp.asarray(arr)
+    return jnp.asarray(npz_decode_array(arrays[path], node["array"]
+                                        if node["array"] in _BIT_MARKERS
+                                        else None))
 
 
 def save_model(params: Any, path: str):

@@ -597,14 +597,35 @@ class GemLiteLinear:
         return self
 
     def save(self, path: str):
-        np.savez(path, **self.state_dict())
+        import json
+
+        from .dtypes import npz_encode_array
+
+        arrays, markers = {}, {}
+        for k, v in self.state_dict().items():
+            arrays[k], m = npz_encode_array(v)
+            if m:   # ml_dtypes (bf16/fp8/e8m0) degrade to void in np.savez
+                markers[k] = m
+        if markers:
+            arrays["__dtypes__"] = np.frombuffer(
+                json.dumps(markers).encode(), dtype=np.uint8)
+        np.savez(path, **arrays)
 
     @classmethod
     def load(cls, path: str):
+        import json
+
+        from .dtypes import npz_decode_array
+
         with np.load(path, allow_pickle=False) as data:
-            layer = cls.__new__(cls)
-            layer.bias = None
-            layer.load_state_dict({k: data[k] for k in data.files})
+            sd = {k: data[k] for k in data.files}
+        markers = {}
+        if "__dtypes__" in sd:
+            markers = json.loads(bytes(sd.pop("__dtypes__")).decode())
+        sd = {k: npz_decode_array(v, markers.get(k)) for k, v in sd.items()}
+        layer = cls.__new__(cls)
+        layer.bias = None
+        layer.load_state_dict(sd)
         return layer
 
     # ------------------------------------------------------------------

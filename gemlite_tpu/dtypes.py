@@ -124,3 +124,49 @@ def is_mx_dtype(input_dtype) -> bool:
 
 def is_float_dtype(dtype: DType) -> bool:
     return jnp.issubdtype(to_jax_dtype(dtype), jnp.floating)
+
+
+# ---------------------------------------------------------------------------
+# npz-safe serialization of ml_dtypes arrays: np.savez silently degrades
+# bfloat16/fp8/e8m0 to raw void records, so these are stored as their bit
+# views plus a dtype marker and restored on load.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+try:
+    import ml_dtypes as _ml_dtypes
+except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+    _ml_dtypes = None
+
+_NPZ_BIT_VIEWS = {}
+if _ml_dtypes is not None:
+    for _name, _bits in (("bfloat16", _np.uint16),
+                         ("float8_e4m3fn", _np.uint8),
+                         ("float8_e5m2", _np.uint8),
+                         ("float8_e4m3fnuz", _np.uint8),
+                         ("float8_e5m2fnuz", _np.uint8),
+                         ("float8_e8m0fnu", _np.uint8)):
+        _dt = getattr(_ml_dtypes, _name, None)
+        if _dt is not None:
+            _NPZ_BIT_VIEWS[_name] = (_dt, _bits)
+
+
+def npz_encode_array(x):
+    """-> (numpy array safe for np.savez, dtype marker or None)."""
+    arr = _np.asarray(x)
+    entry = _NPZ_BIT_VIEWS.get(str(arr.dtype))
+    if entry is not None:
+        return arr.view(entry[1]), str(arr.dtype)
+    return arr, None
+
+
+def npz_decode_array(arr, marker):
+    """Inverse of npz_encode_array (numpy out; callers jnp.asarray as
+    needed — the ml dtype is restored by the bit view)."""
+    if marker:
+        entry = _NPZ_BIT_VIEWS.get(marker)
+        if entry is None:
+            raise ValueError(f"unknown checkpoint dtype marker {marker!r}")
+        return _np.asarray(arr).view(entry[0])
+    return _np.asarray(arr)

@@ -86,7 +86,9 @@ class OddBitLinear:
             hi, self.high_bits, 32, transpose=True)
         self.scales = jnp.asarray(scales).reshape(self.out_features, -1).T
         self.zeros = jnp.asarray(zeros).reshape(self.out_features, -1).T
-        self.bias = None if bias is None else jnp.asarray(bias)
+        from ..dtypes import to_jax_dtype
+        self.bias = (None if bias is None else
+                     jnp.asarray(bias, to_jax_dtype(self.output_dtype)))
         return self
 
     # ------------------------------------------------------------------

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 
 from .core import GemLiteLinear
 from .dtypes import DType, JAX_TO_DTYPE
-from .quant import WeightQuantizerMXFP
 from .utils.m_bucket import _BUCKETS
 
 __all__ = [
@@ -139,6 +138,8 @@ class A16W8:
             out_features=out_features, input_dtype=gem_dtype, output_dtype=gem_dtype,
         )
         bias = jnp.asarray(_to_np(bias), dtype=dtype) if bias is not None else None
+        if not self.fp32_scale:  # honor the flag (reference helper parity)
+            scales = np.asarray(_to_np(scales), dtype=np.dtype(dtype))
         layer.pack(W_q, scales, zeros=None, bias=bias)
 
         if self.post_scale:  # scale after the K-sum
@@ -510,8 +511,16 @@ def patch_model(model, processor, skip_modules=("lm_head", "vision", "visual"),
                 if _is_linear_like(child):
                     setattr(mod, name, convert(child, full))
                 elif isinstance(child, (list, tuple)):
-                    new = [convert(c, f"{full}.{i}") if _is_linear_like(c) else
-                           (walk(c, f"{full}.{i}") or c) for i, c in enumerate(child)]
+                    new = []
+                    for i, c in enumerate(child):
+                        if _is_linear_like(c):
+                            new.append(convert(c, f"{full}.{i}"))
+                        else:
+                            # only objects can hold nested linears; walking
+                            # a primitive would crash on vars()
+                            if hasattr(c, "__dict__"):
+                                walk(c, f"{full}.{i}")
+                            new.append(c)
                     setattr(mod, name, type(child)(new))
                 elif hasattr(child, "__dict__"):
                     walk(child, full)
@@ -539,13 +548,36 @@ def warmup(processor, shapes, batch_sizes=None, group_size=64, dtype=jnp.bfloat1
     layers = []
     for (out_features, in_features) in shapes:
         w = rng.normal(size=(out_features, in_features)).astype(np.float32) * 0.02
-        layer = processor.from_weights(w, None) if not hasattr(processor, "W_nbits") \
-            else _warmup_quantize(processor, w, group_size)
+        layer = _warmup_layer(processor, w, group_size)
         layers.append(layer)
         for bs in batch_sizes:
             x = jnp.asarray(rng.normal(size=(bs, in_features)) * 0.1, dtype)
             jax.block_until_ready(layer(x))
     return layers
+
+
+def _warmup_layer(processor, w, group_size):
+    """Build one warmup layer from a float matrix, routing by the
+    processor's actual constructor surface: BitNet via from_bitlinear on
+    ternarized weights, self-quantizing processors (A16W8/A8W8/all MXFP)
+    via from_linear, pre-quantized INT Wn via the HQQ-style group quant."""
+    if hasattr(processor, "from_bitlinear"):
+
+        class _Bit:
+            weight = np.sign(w).astype(np.float32)
+            weight_scale = float(np.abs(w).mean() + 1e-8)
+            bias = None
+
+        return processor.from_bitlinear(_Bit(), del_orig=False)
+    if (type(processor).__module__.endswith(".mx")     # every MXFP/NVFP
+            or getattr(processor, "W_nbits", None) is None):
+
+        class _Lin:
+            weight = w
+            bias = None
+
+        return processor.from_linear(_Lin(), del_orig=False)
+    return _warmup_quantize(processor, w, group_size)
 
 
 def _warmup_quantize(processor, w, group_size):

@@ -25,12 +25,10 @@ import jax.numpy as jnp
 from .core import GemLiteLinear, LayerMeta
 from .dtypes import DType, JAX_TO_DTYPE, to_jax_dtype
 from .quant import (
+    e8m0_bits_to_f32,
     WeightQuantizerMXFP,
     FP4_VALUES,
     NVFP4_META_SCALE,
-    scale_activations_mxfp8,
-    scale_activations_mxfp4,
-    scale_activations_nvfp4,
     fp4_dequant,
     round_to_fp4,
     _pow2_ceil,
@@ -107,9 +105,7 @@ def pack_mxfp_layer(W_q, scales, W_nbits: int, dtype=None, bias=None,
 # ---------------------------------------------------------------------------
 
 def _e8m0_to_f32(u8):
-    return jax.lax.bitcast_convert_type(
-        (u8.astype(jnp.uint32) << 23), jnp.float32
-    )
+    return e8m0_bits_to_f32(u8)
 
 
 def fake_quant_activations(x, input_dtype: DType, compute_dtype=jnp.bfloat16):

@@ -103,15 +103,16 @@ def e8m0_bits_to_f32(u8):
 
 
 def _group_view(x, group_size: int):
-    """(..., K) -> (rows padded to group multiple) x group_size view + metadata."""
+    """(..., K) -> (rows, group_size) view + metadata. K must be a group
+    multiple: flat padding would blend the tail of one token into the next
+    token's first scale group (cross-token contamination), and every
+    caller's (M, K//gs) scale reshape requires divisibility anyway."""
     orig_shape = x.shape
     xf = x.reshape(-1, x.shape[-1])
-    total = xf.size
-    pad = (-total) % group_size
-    flat = xf.reshape(-1)
-    if pad:
-        flat = jnp.pad(flat, (0, pad))
-    return flat.reshape(-1, group_size), orig_shape, xf.shape, pad
+    if xf.shape[-1] % group_size:
+        raise ValueError(
+            f"K={xf.shape[-1]} is not a multiple of group_size={group_size}")
+    return xf.reshape(-1, group_size), orig_shape, xf.shape, 0
 
 
 def scale_activations_mxfp8(x, w_dtype=jnp.float8_e4m3fn):
@@ -323,10 +324,14 @@ class WeightQuantizerMXFP:
             offsets = jnp.arange(-window_size, window_size + 1, dtype=jnp.float32)
             # power-of-two neighbourhood around the ideal scale (dominates the
             # e4m3 code-space step for candidates of interest)
-            cand = jnp.maximum(base * jnp.exp2(offsets[None, :]), eps)
+            cand = jnp.clip(jnp.maximum(base * jnp.exp2(offsets[None, :]),
+                                        eps), 0, 448.0)   # e4m3 max: no NaN
             full = cand * NVFP4_META_SCALE
             q, _ = round_to_fp4(Wf[:, None, :] / full[:, :, None])
-            err = jnp.mean(jnp.abs(Wf[:, None, :] - q * cand[:, :, None]), axis=-1)
+            # the reconstruction is q * (scale * META), so the error metric
+            # must use `full` — scoring against `cand` degenerates to always
+            # picking the smallest candidate
+            err = jnp.mean(jnp.abs(Wf[:, None, :] - q * full[:, :, None]), axis=-1)
             best = jnp.argmin(err, axis=1, keepdims=True)
             scales = jnp.take_along_axis(cand, best, axis=1).astype(jnp.float8_e4m3fn)
         scales_full = jnp.maximum(scales.astype(jnp.float32) * NVFP4_META_SCALE, eps)

@@ -148,3 +148,41 @@ def test_fake_quant_activations_close():
     for d, tol in [(DType.MXFP8, 3e-2), (DType.MXFP4, 1.5e-1), (DType.NVFP4, 1.2e-1)]:
         xq = fake_quant_activations(x, d, jnp.float32)
         assert _rel(xq, x) < tol, d
+
+
+def test_nvfp4_window_search_improves():
+    """The NVFP4 window search must score candidates against the TRUE
+    reconstruction q * (scale * META_SCALE) — the old metric (q * scale)
+    degenerated to always picking the smallest candidate (6x worse MAE)."""
+    from gemlite_tpu.quant import NVFP4_META_SCALE
+
+    q = WeightQuantizerMXFP(compute_dtype=jnp.float32)
+    W_q0, s0 = q.quantize_nvfp4(W, window_size=0, index=True)
+    W_q2, s2 = q.quantize_nvfp4(W, window_size=2, index=True)
+
+    def err(W_q, s):
+        sf = np.asarray(s, np.float32) * NVFP4_META_SCALE
+        rec = np.asarray(fp4_dequant(W_q), np.float32).reshape(-1, 16) \
+            * sf.reshape(-1, 1)
+        return float(np.mean(np.abs(rec.reshape(W.shape) - W)))
+
+    e0, e2 = err(W_q0, s0), err(W_q2, s2)
+    assert e2 <= e0 + 1e-9, (e0, e2)
+    # the search must also not degenerate (old bug: ~6x worse than window=0)
+    assert e2 < 1.5 * e0, (e0, e2)
+    assert not np.any(np.isnan(np.asarray(s2, np.float32)))
+
+
+def test_warmup_every_processor_family():
+    """warmup() must build + run a layer for every processor constructor
+    surface: self-quantizing (A16W8), pre-quantized INT Wn, MXFP/NVFP
+    (previously TypeError), and BitNet (previously float(None) crash)."""
+    from gemlite_tpu.helper import (A16W4_HQQ_INT, A16W8_INT8, A16W158_INT,
+                                    warmup)
+
+    shapes = [(128, 256)]
+    for proc in (A16W8_INT8(), A16W4_HQQ_INT(), A16W158_INT(),
+                 A16W4_MXFP(dtype=jnp.bfloat16),
+                 A4W4_NVFP_dynamic(dtype=jnp.bfloat16)):
+        layers = warmup(proc, shapes, batch_sizes=[1, 4], group_size=64)
+        assert len(layers) == 1 and layers[0] is not None
