@@ -130,7 +130,7 @@ def _odd_lo_planes(wlo, bk, bn):
 
 
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
-                 has_scales, has_zeros, has_scales_x, fma_zeros,
+                 has_scales, has_zeros, has_scales_x,
                  out_jdtype, bm, bn, bk, gs, real_gs, n_k,
                  w_codec=None, scale_codec=None, x_batch_middle=False,
                  odd_lo=False):
@@ -515,7 +515,6 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         has_scales=has_scales,
         has_zeros=has_zeros,
         has_scales_x=has_scales_x,
-        fma_zeros=meta.W_group_mode == 4,
         out_jdtype=out_jdtype,
         bm=bm, bn=bn, bk=bk, gs=gs,
         real_gs=meta.group_size if 1 < meta.group_size < K else bk,

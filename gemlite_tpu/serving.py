@@ -103,6 +103,10 @@ class ContinuousBatchingEngine:
             self.draft_kv = init_kv_cache(dcfg, max_batch)
         self.buckets = tuple(b for b in sorted(prefill_buckets)
                              if b <= cfg.max_seq_len)
+        if not self.buckets:
+            raise ValueError(
+                f"no prefill bucket fits max_seq_len={cfg.max_seq_len}; "
+                f"pass prefill_buckets with at least one value <= it")
         # chunked prefill: long prompts are prefilled prefill_chunk tokens per
         # engine step, interleaved with decode of the other slots — bounds the
         # per-step latency a long admission adds (one compiled chunk program)
@@ -147,7 +151,9 @@ class ContinuousBatchingEngine:
         # speculative draft is attached (the dense draft cache would miss
         # the skipped prefix).
         self.use_prefix = bool(prefix_cache) and paged and draft is None
-        self.prefix_cache: "OrderedDict[int, int]" = OrderedDict()  # hash -> pid
+        self.prefix_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        # hash -> (pid, page_tokens): tokens verified on match so a
+        # 64-bit hash collision can never attach another prompt's KV
         self.page_refs: Dict[int, int] = {}                  # pid -> live slots
         self.slot_shared: List[set] = [set() for _ in range(max_batch)]
         self.prefix_stats = {"hit_pages": 0, "new_pages": 0}
@@ -191,7 +197,7 @@ class ContinuousBatchingEngine:
     # ------------------------------------------------------------------
     def _evict_prefix_pages(self) -> bool:
         """Reclaim one LRU refcount-0 prefix-cached page to the free list."""
-        for h, pid in list(self.prefix_cache.items()):   # LRU first
+        for h, (pid, _) in list(self.prefix_cache.items()):   # LRU first
             if self.page_refs.get(pid, 0) == 0:
                 del self.prefix_cache[h]
                 self.page_refs.pop(pid, None)
@@ -259,9 +265,12 @@ class ContinuousBatchingEngine:
         own = self.slot_pages[slot]
         assert not own, "prefix attach on a non-empty slot"
         for i, h in enumerate(self._chain_hashes(prompt, ps, limit)):
-            pid = self.prefix_cache.get(h)
-            if pid is None:
+            entry = self.prefix_cache.get(h)
+            if entry is None:
                 break
+            pid, page_toks = entry
+            if page_toks != tuple(int(t) for t in prompt[i * ps:(i + 1) * ps]):
+                break     # hash collision: contents differ, do not attach
             self.prefix_cache.move_to_end(h)                 # LRU touch
             self.page_refs[pid] = self.page_refs.get(pid, 0) + 1
             self.page_table[slot, i] = pid
@@ -302,7 +311,8 @@ class ContinuousBatchingEngine:
                 continue                     # identical content cached first
             if pid in self.slot_shared[slot]:
                 continue                     # attached page: already cached
-            self.prefix_cache[h] = pid
+            self.prefix_cache[h] = (
+                pid, tuple(int(t) for t in prompt[i * ps:(i + 1) * ps]))
             self.page_refs[pid] = self.page_refs.get(pid, 0) + 1
             self.slot_shared[slot].add(pid)
             self.prefix_stats["new_pages"] += 1
@@ -460,10 +470,11 @@ class ContinuousBatchingEngine:
         fix = jnp.where(temps > 0, fix_sampled, fix_greedy)   # (B,)
         return drafts, fix, n_acc, kv, dkv, key
 
-    def _decode_impl(self, params, tokens, kv, cache_lens, active, key, temps,
+    def _decode_impl(self, params, tokens, kv, cache_lens, key, temps,
                      t_active=None):
         """One batched decode step. tokens (B, 1); cache_lens (B,);
-        active (B,) bool; temps (B,); t_active static live-KV bucket.
+        temps (B,); t_active static live-KV bucket. Inactive slots are
+        masked by the stale-row/trash-page write convention, not here.
         Returns (next_tokens (B,), kv, key)."""
         from .models.llama import llama_decode_step_batched
 
@@ -542,7 +553,13 @@ class ContinuousBatchingEngine:
             padded[0, :len(prompt)] = prompt
             # pad rows within the bucket are also written (then overwritten
             # by decode); cover the whole bucket
-            self._ensure_pages(slot, Lb)
+            try:
+                self._ensure_pages(slot, Lb)
+            except RuntimeError:
+                # oversubscribed pool dry: requeue and retry next step once
+                # running slots free pages (the request must not be lost)
+                self.queue.insert(0, req)
+                break
             self._sync_table()
             logits, self.kv = self._prefill_jit(
                 self.params, jnp.asarray(padded), self.kv,
@@ -571,6 +588,13 @@ class ContinuousBatchingEngine:
             if pend is None:
                 continue
             C = self._remainder_chunk(len(pend))
+            head = int(self.cfg.max_seq_len) - int(self.slot_len[slot])
+            if C > head:
+                # the padded chunk writes all C rows: a near-max prompt with
+                # a non-dividing chunk width would overflow the cache (paged:
+                # page-table IndexError; dense: clamped scatter corrupting
+                # earlier rows). Pow2 floor keeps the compile count bounded.
+                C = 1 << (max(head, 1).bit_length() - 1)
             chunk, rest = pend[:C], pend[C:]
             padded = np.zeros((1, C), np.int32)
             padded[0, :len(chunk)] = chunk
@@ -697,8 +721,7 @@ class ContinuousBatchingEngine:
                  else _next_bucket(max_len + 1, self.decode_buckets))
         nxt, self.kv, self.key = self._decode_jit(
             self.params, tokens, self.kv, jnp.asarray(lens),
-            jnp.asarray(active), self.key, jnp.asarray(temps),
-            t_active=t_act)
+            self.key, jnp.asarray(temps), t_active=t_act)
         nxt = np.asarray(nxt)
         self._counters["decode_steps"] += 1
         for slot in range(self.max_batch):
@@ -740,4 +763,10 @@ class ContinuousBatchingEngine:
         for r in reqs:
             self.submit(r)
         by_id = {r.request_id: r for r in self.run()}
+        missing = [r.request_id for r in reqs if r.request_id not in by_id]
+        if missing:
+            raise RuntimeError(
+                f"{len(missing)} request(s) unfinished after run()'s step "
+                f"budget — call run(max_steps=...) with a larger budget or "
+                f"submit fewer/shorter requests")
         return [by_id[r.request_id].output_tokens for r in reqs]

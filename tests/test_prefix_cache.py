@@ -166,3 +166,72 @@ def test_cached_admission_skips_prefix_prefill(model):
     assert eng.slot_len[slot] == 16                 # 2 pages attached
     assert len(eng.slot_pending[slot]) == 4         # only the tail remains
     eng.run()
+
+
+def test_near_max_prompt_with_nondividing_chunk(model):
+    """prefill_chunk that doesn't divide max_seq_len + a near-max prompt:
+    the final padded chunk must clamp to the cache headroom (previously a
+    page-table IndexError in paged mode)."""
+    params, cfg = model
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, 128, size=cfg.max_seq_len - 1).tolist()  # 63
+
+    base = ContinuousBatchingEngine(params, cfg, max_batch=1,
+                                    prefill_buckets=(8, 16, 32, 64),
+                                    page_size=8, prefix_cache=False)
+    want = base.generate([prompt], max_new_tokens=1)[0]
+
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=1,
+                                   prefill_buckets=(8, 16, 32, 64),
+                                   page_size=8, prefill_chunk=20,
+                                   prefix_cache=False)
+    got = eng.generate([prompt], max_new_tokens=1)[0]
+    assert got == want
+
+
+def test_hash_collision_never_attaches_wrong_pages(model):
+    """A poisoned cache entry with the right hash but different token
+    content must NOT be attached (hash collisions are verified away)."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, 128, size=20).tolist()
+    eng = _engine(model, prefix_cache=True)
+
+    h0 = eng._chain_hashes(prompt, eng.page_size, 1)[0]
+    eng.prefix_cache[h0] = (3, tuple([999] * eng.page_size))  # wrong tokens
+    eng.submit(Request(prompt_tokens=prompt, max_new_tokens=1))
+    eng._admit()
+    # no pages attached: the content check rejected the colliding entry
+    # (the request one-shot-prefilled instead of taking the cached path)
+    assert eng.prefix_stats["hit_pages"] == 0
+    assert all(3 not in pages for pages in eng.slot_pages)
+    eng.prefix_cache.clear()
+    results = eng.run()
+    assert len(results) == 1 and len(results[0].output_tokens) == 1
+
+
+def test_pool_exhaustion_requeues_request(model):
+    """One-shot admission hitting a dry oversubscribed pool must requeue
+    the request (previously it was silently lost) and complete it once
+    pages free up."""
+    params, cfg = model
+    rng = np.random.default_rng(10)
+    # pool: trash + 8 pages; each 17-token prompt (bucket 32) needs 4 pages
+    # at admission and grows during decode — two slots cannot both admit
+    prompts = [rng.integers(0, 128, size=17).tolist() for _ in range(3)]
+
+    base = ContinuousBatchingEngine(params, cfg, max_batch=2,
+                                    prefill_buckets=(8, 16, 32), page_size=8,
+                                    prefix_cache=False)
+    want = base.generate(prompts, max_new_tokens=3)
+
+    eng = ContinuousBatchingEngine(params, cfg, max_batch=2,
+                                   prefill_buckets=(8, 16, 32), page_size=8,
+                                   total_pages=9, prefix_cache=False)
+    got = eng.generate(prompts, max_new_tokens=3)
+    assert got == want
+
+
+def test_empty_buckets_config_error(model):
+    params, cfg = model
+    with pytest.raises(ValueError, match="prefill bucket"):
+        ContinuousBatchingEngine(params, cfg, prefill_buckets=(128, 256))
