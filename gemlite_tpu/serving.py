@@ -556,6 +556,12 @@ class ContinuousBatchingEngine:
             try:
                 self._ensure_pages(slot, Lb)
             except RuntimeError:
+                # return the partial allocation (a later admission on this
+                # slot must start from an empty page set)
+                self._free_slot_pages(slot)
+                if self.num_active == 0:
+                    # no running slot can ever free pages: unsatisfiable
+                    raise
                 # oversubscribed pool dry: requeue and retry next step once
                 # running slots free pages (the request must not be lost)
                 self.queue.insert(0, req)
