@@ -74,6 +74,10 @@ class EngineService:
                             temperature=float(temperature))
         waiter = [threading.Event(), None]
         with self._lock:
+            if self._error is not None:
+                # the stepping thread died while we waited for the lock:
+                # registering a waiter now would hang until timeout
+                raise RuntimeError(f"engine failed: {self._error}")
             # submit first: a rejected prompt must not leak a waiter entry
             self.engine.submit(req)
             self._waiters[req.request_id] = waiter

@@ -42,8 +42,8 @@ def timed_slope(fn, x, n1=200, n2=800, repeats=3):
     return (best[n2] - best[n1]) / (n2 - n1)
 
 
-HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v6e": 1638.0,
-            "v4": 1228.0}
+# single source of truth for per-chip rooflines lives in bench.py
+from bench import HBM_ROOFLINE_GBPS as HBM_GBPS  # noqa: E402
 
 
 def main():

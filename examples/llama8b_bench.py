@@ -75,8 +75,10 @@ def build_quantized_llama(cfg, W_nbits=4, group_size=128, seed=0):
         (QD, H): qlayer(QD, H, next(keys)), (KD, H): qlayer(KD, H, next(keys)),
         (I, H): qlayer(I, H, next(keys)), (H, I): qlayer(H, I, next(keys)),
     }
-    if (H, H) not in tmpl and QD == H:
-        tmpl[(H, QD)] = tmpl[(QD, H)]
+    if (H, QD) not in tmpl:
+        # wo is (H, QD); only materialize a separate template when the
+        # shape is genuinely new (QD != H)
+        tmpl[(H, QD)] = qlayer(H, QD, next(keys))
     embed = jax.jit(
         lambda kk: (jax.random.normal(kk, (cfg.vocab_size, H), jnp.float32)
                     * 0.01).astype(cfg.dtype))(next(keys))
@@ -91,7 +93,7 @@ def build_quantized_llama(cfg, W_nbits=4, group_size=128, seed=0):
     for li in range(cfg.num_layers):
         blocks.append({
             "attn": {"wq": tmpl[(QD, H)], "wk": tmpl[(KD, H)],
-                     "wv": tmpl[(KD, H)], "wo": tmpl.get((H, QD), tmpl[(QD, H)]),
+                     "wv": tmpl[(KD, H)], "wo": tmpl[(H, QD)],
                      },
             "mlp": {"gate": tmpl[(I, H)], "up": tmpl[(I, H)],
                     "down": tmpl[(H, I)]},
@@ -148,7 +150,10 @@ def main():
     def prefill_n(params, tokens, kv, n):
         def body(i, carry):
             tok, s = carry
-            logits, _ = llama_forward(params, cfg, tokens, kv=kv, cache_len=0)
+            # data-depend the operands on the carry (dynamically always a
+            # no-op) so invariant code motion cannot hoist the forward
+            t_in = jnp.where(s > 1e30, tokens + 1, tokens)
+            logits, _ = llama_forward(params, cfg, t_in, kv=kv, cache_len=0)
             t2 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
             return (t2, s + logits[0, -1, 0].astype(jnp.float32) * 1e-12)
         return lax.fori_loop(0, n, body, (tokens[:, :1], jnp.float32(0)))
@@ -185,7 +190,8 @@ def main():
     # slope timing over two scan lengths with genuine value fetches —
     # block_until_ready is unreliable through the axon tunnel
     start = jnp.int32(args.prompt)
-    n1, n2 = max(4, args.steps // 4), args.steps
+    n1 = max(1, args.steps // 4)
+    n2 = max(args.steps, n1 + 3)   # slope needs n2 > n1
     best = {}
     for n in (n1, n2):
         _, _, t = decode_n(params, tok, kv, start, n)

@@ -63,8 +63,11 @@ def main():
 
     print(f"prompt[{prompt.shape[1]} tok] -> generated {len(out)} tokens")
     print("tokens:", out)
+    # both timings include one-time XLA compilation (the first prefill /
+    # decode call); use examples/llama8b_bench.py for steady-state numbers
     print(f"prefill: {t_prefill*1e3:.1f} ms   "
-          f"decode: {t_decode/max(1, args.steps-1)*1e3:.2f} ms/tok")
+          f"decode: {t_decode/max(1, args.steps-1)*1e3:.2f} ms/tok "
+          f"(both incl. compile)")
 
 
 if __name__ == "__main__":

@@ -21,8 +21,17 @@ if not os.path.exists(src):
 with open(src) as f:
     table = json.load(f)
 n = sum(len(v) for v in table.values())
+force = "--force" in sys.argv
 for tag in ("v5p", "v6_lite"):
     out = os.path.join(root, f"{tag}.json")
+    if os.path.exists(out) and not force:
+        # never silently clobber a (possibly measured) existing table
+        with open(out) as f:
+            existing = json.load(f)
+        n_old = sum(len(v) for v in existing.values())
+        print(f"skip {out}: exists with {n_old} entries (use --force to "
+              f"overwrite with the v5e extrapolation)")
+        continue
     with open(out, "w") as f:
         json.dump(table, f)
     print(f"wrote {out} ({n} entries, extrapolated from v5e)")

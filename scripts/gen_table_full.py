@@ -2,7 +2,7 @@
 """Generate the full shipped autotune table for this chip.
 
 Sweeps the Llama projection shapes x {W4 gs128/gs64, W2, W8, W1, MXFP4,
-NVFP4, MXFP8} x M buckets {1..2048} with the 'fast' candidate grids and
+NVFP4, MXFP8} x M buckets 1..4096 with the 'fast' candidate grids and
 writes gemlite_tpu/configs/<tag>.json incrementally (safe to interrupt and
 resume: already-cached signatures are skipped unless --retune).
 
@@ -19,7 +19,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 logging.basicConfig(level=logging.WARNING, format="%(message)s")
 
-M_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 SHAPES = [(4096, 4096), (14336, 4096), (4096, 14336), (1024, 4096),
           (4096, 1024)]
 
@@ -45,7 +44,8 @@ def main():
     default_out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "..", "gemlite_tpu", "configs", f"{tag}.json")
     out = args[0] if args else default_out
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.dirname(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
 
     # resume support: skip (shape, M, format) combos already in the file
     # (match on the (M_bucket, N, K, gs, elems) signature prefix)
