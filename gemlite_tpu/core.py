@@ -274,12 +274,24 @@ class GemLiteLinear:
 
         if packing_bitwidth is None:
             packing_bitwidth = GemLiteLinear.PACKING_BITWIDTH
+        self.requested_packing_bitwidth = packing_bitwidth
         if is_mx_dtype(self.input_dtype):
             # fp4 codes pack into int32 words (8/word) so the plane-unpack
             # kernels apply; fp8 weights stay as native fp8 (non-packed).
             # (The reference forces byte packing for tl.dot_scaled layouts,
             # core.py:364-365 — a Triton constraint that does not apply here.)
             packing_bitwidth = 32 if self.W_nbits == 4 else 8
+        elif packing_bitwidth != 32:
+            # TPU normalization: 8/16/64-bit packing requests store int32
+            # words. The LSB-first layout makes this a pure container change
+            # — the little-endian byte stream along K is IDENTICAL for every
+            # word width (element j of word r is code k = r*elems + j at bit
+            # (j % elems)*W_nbits), so re-labelling the container is lossless.
+            # The reference's 8-bit packing recommendation (core.py:229,
+            # README.md:214) is a GPU L2/LDG-width tradeoff with no TPU
+            # analog; int32 words are what the plane kernels stream. The
+            # requested width is kept in ``requested_packing_bitwidth``.
+            packing_bitwidth = 32
 
         if self.out_features is None or self.in_features is None:
             self.out_features, self.in_features = W_q.shape

@@ -90,12 +90,22 @@ def _fp4_planes(w, n_planes, c, t_rows, bn):
 
 
 def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
-    """fp8 bit patterns (4 per int32 word) -> TRUE bf16 values via bit remap
-    (validated): e4m3 bits = ((c&0x7F)<<4) + 0x3C00, e5m2 bits =
-    ((c&0x7F)<<5) + 0x3800; sign bit7 -> bit15 either way. Zeros and
-    subnormals (the bottom of the fp8 grid) flush to +-0 — a bounded
-    deviation only on near-zero weights. e5m2 inf/nan (E=31) decode as
-    large finite values ~2^16; quantized weights never contain them."""
+    """fp8 bit patterns (4 per int32 word) -> TRUE bf16 values via bit remap,
+    EXACT over the full finite codebook including subnormals (pinned bit-exact
+    vs ml_dtypes in tests/test_kernels.py::test_fp8_codec_exhaustive).
+
+    Normals: e4m3 bits = ((c&0x7F)<<4) + 0x3C00, e5m2 bits =
+    ((c&0x7F)<<5) + 0x3800; sign bit7 -> bit15 either way.
+
+    Subnormals (E=0, M!=0) are renormalized with a 2/3-level leading-bit
+    cascade in the packed-halfword int domain: e4m3 value = M*2^-9 ->
+    {0x3B00, 0x3B80, 0x3BC0, 0x3C00|((M&3)<<5)}, e5m2 value = M*2^-16 ->
+    {0x3780, 0x3800|((M&1)<<6)}. All are exactly representable in bf16
+    (reference exact-dequant numerics: quant_utils.py:97-123).
+
+    Non-finite codes: e4m3fn S.1111.111 (NaN in ml_dtypes) decodes as
+    +-480 (the normal-formula extension); e5m2 E=31 (inf/nan) decodes as
+    large finite ~2^16 values. Quantized weights never contain them."""
     if e5m2:
         mant_shift, exp_base, exp_mask, exp_lsb = 5, 0x38003800, 0x007C007C, 2
     else:
@@ -110,7 +120,22 @@ def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
         for s in range(exp_lsb + 1, 7):
             f = f | (e >> s)
         f = f & 0x00010001
-        bits = bits & (f * 0xFFFF)
+        fmask = f * 0xFFFF                      # per-half: 0xFFFF where normal
+        if e5m2:
+            m2 = t8 & 0x00030003
+            b1m = ((m2 >> 1) & 0x00010001) * 0xFFFF
+            b0m = (m2 & 0x00010001) * 0xFFFF
+            sub = ((0x38003800 | ((m2 & 0x00010001) << 6)) & b1m) \
+                | (0x37803780 & b0m & ~b1m)
+        else:
+            m3 = t8 & 0x00070007
+            b2m = ((m3 >> 2) & 0x00010001) * 0xFFFF
+            b1m = ((m3 >> 1) & 0x00010001) * 0xFFFF
+            b0m = (m3 & 0x00010001) * 0xFFFF
+            sub = ((0x3C003C00 | ((m3 & 0x00030003) << 5)) & b2m) \
+                | ((0x3B803B80 | ((m3 & 0x00010001) << 6)) & b1m & ~b2m) \
+                | (0x3B003B00 & b0m & ~b1m & ~b2m)
+        bits = (bits & fmask) | (sub & ~fmask)
         bits = bits | ((t8 & 0x00800080) << 8)
         planes.append(pltpu.bitcast(bits, jnp.bfloat16).reshape(c, t_rows, bn))
     return planes

@@ -16,6 +16,10 @@ INT8-activation layers on the M <= 64 fast path:
   k block is walked as ``c = bk // gs`` statically-unrolled flat 2D dots
   (one per group) with the per-group correction and f32 scale applied at
   each step — the batched (c, gs) u8 group-dot form miscompiles Mosaic.
+* packed W4/W2 codes channel-wise (BitNet W2 scalar-zero shift, channel-wise
+  W4 with strip zeros; W_group_mode 1): byte-planes stacked per k-block
+  (unit = bk, the ``cw`` path), meta strips indexed at row 0, int32
+  accumulation end-to-end (no in-loop float scale).
 * packed W4/W2 codes with grouped int zeros (W_group_mode 3, fma_mode=False):
   even/odd nibble BYTE-planes — ``(w >> p*W_nbits) & 0x0F0F0F0F`` bitcast to
   int8 — stacked per group; the group dot runs batched (c, gs) x (c, gs, bn)
@@ -100,12 +104,12 @@ def can_use_int8_decode(meta, M, N, K, cfg: KernelConfig) -> bool:
                 return False
         else:
             return False  # dense-int8 grouped (mode 2) stays on bf16 kernels
-    else:
-        if kind == "nibble":
-            return False  # channel-wise nibble stays on the bf16 plane path
-        # flat path: zeros must be scalar or channel-wise (one strip)
-        if meta.W_group_mode == 3:
-            return False  # grouped scales need group dots
+    elif kind == "nibble":
+        # channel-wise nibble (BitNet W2 / channel-wise W4): byte-planes
+        # stacked per k-block (unit = bk), meta strips indexed at row 0
+        P = 8 // meta.W_nbits
+        if (bk // P) % 32:
+            return False  # int8 sublane tile is 32 rows
     return True
 
 
@@ -129,13 +133,17 @@ def select_int8_decode_config(meta, M, N, K) -> KernelConfig:
 
 def _make_kernel(*, kind, W_nbits, W_group_mode, channel_scale_mode,
                  zero_is_scalar, has_scales, has_zeros, has_scales_x,
-                 out_jdtype, bm, bn, bk, gs, n_k):
+                 out_jdtype, bm, bn, bk, gs, n_k, cw=False):
+    # cw: channel-wise nibble layer run through the grouped machinery with
+    # unit = bk — meta strips are single rows indexed at 0, not at k*c.
     grouped = gs > 0
     P = 8 // W_nbits if kind == "nibble" else 1
     t8 = (gs // P) if grouped else 0
     c = (bk // gs) if grouped else 1
     off8 = 128 if kind == "u8_packed" else 0
-    int_acc = not (has_scales and (W_group_mode == 3 or grouped))
+    # int32 accumulation is exact whenever no float scale enters the k-loop;
+    # per-group scales (W_group_mode 2/3 with has_scales) force f32 partials
+    int_acc = not (has_scales and W_group_mode in (2, 3))
 
     def kernel(*refs):
         i = 0
@@ -187,12 +195,14 @@ def _make_kernel(*, kind, W_nbits, W_group_mode, channel_scale_mode,
                     if zero_is_scalar:
                         zg = z_ref[0, 0]
                     else:
-                        zg = z_ref[pl.ds(k * c + g, 1), :].astype(jnp.int32)
+                        zrow = 0 if cw else k * c + g
+                        zg = z_ref[pl.ds(zrow, 1), :].astype(jnp.int32)
                     raw = raw + (off8 - zg) * xs
                 else:
                     raw = raw + off8 * xs
                 if has_scales and W_group_mode in (2, 3):
-                    sg = s_ref[pl.ds(k * c + g, 1), :].astype(jnp.float32)
+                    srow = 0 if cw else k * c + g
+                    sg = s_ref[pl.ds(srow, 1), :].astype(jnp.float32)
                     contrib = raw.astype(jnp.float32) * sg
                 else:
                     contrib = raw if int_acc else raw.astype(jnp.float32)
@@ -209,10 +219,12 @@ def _make_kernel(*, kind, W_nbits, W_group_mode, channel_scale_mode,
                 if zero_is_scalar:
                     z3 = z_ref[0, 0]
                 else:
-                    z3 = z_ref[pl.ds(k * c, c), :].astype(jnp.int32)[:, None, :]
+                    zrow = 0 if cw else k * c
+                    z3 = z_ref[pl.ds(zrow, c), :].astype(jnp.int32)[:, None, :]
             corr = raw if not has_zeros else raw + (off8 - z3) * xs
             if has_scales and W_group_mode in (2, 3):
-                s3 = s_ref[pl.ds(k * c, c), :].astype(jnp.float32)[:, None, :]
+                srow = 0 if cw else k * c
+                s3 = s_ref[pl.ds(srow, c), :].astype(jnp.float32)[:, None, :]
                 contrib = corr.astype(jnp.float32) * s3
             else:
                 contrib = corr if int_acc else corr.astype(jnp.float32)
@@ -280,6 +292,12 @@ def pallas_int8_decode(x, W_q, scales, zeros, scales_x, meta,
     n_k = K // bk
     out_jdtype = to_jax_dtype(meta.output_dtype)
 
+    # channel-wise nibble layers (BitNet W2, channel-wise W4) run through the
+    # grouped plane machinery with unit = bk; meta strips index at row 0
+    cw = kind == "nibble" and not gs
+    if cw:
+        gs = bk
+
     xq = x.astype(jnp.int8)
     if kind == "nibble":
         xq = _permute_x_bytes(xq, meta.W_nbits, gs)
@@ -340,7 +358,7 @@ def pallas_int8_decode(x, W_q, scales, zeros, scales_x, meta,
                                      memory_space=pltpu.VMEM))
         args.append(scales_x.astype(jnp.float32))
 
-    int_acc = not (has_scales and (meta.W_group_mode == 3 or gs))
+    int_acc = not (has_scales and meta.W_group_mode in (2, 3))
     kernel = _make_kernel(
         kind=kind, W_nbits=meta.W_nbits,
         W_group_mode=meta.W_group_mode,
@@ -349,7 +367,7 @@ def pallas_int8_decode(x, W_q, scales, zeros, scales_x, meta,
         has_scales=has_scales, has_zeros=has_zeros,
         has_scales_x=has_scales_x,
         out_jdtype=out_jdtype,
-        bm=bm, bn=bn, bk=bk, gs=gs, n_k=n_k,
+        bm=bm, bn=bn, bk=bk, gs=gs, n_k=n_k, cw=cw,
     )
 
     out = pl.pallas_call(

@@ -190,3 +190,94 @@ def test_dispatch_routes_int8_layers():
     rel = np.mean(np.abs(np.asarray(y, np.float32) - want)) / \
         (np.mean(np.abs(want)) + 1e-9)
     assert rel < 2e-2, rel
+
+
+@pytest.mark.parametrize("M", [1, 8, 64])
+def test_bitnet_channelwise_w2_exact(M):
+    """BitNet A8W158: ternary codes (w+1 in {0,1,2}), scalar zero 1,
+    channel-wise scale — the channel-wise nibble (cw) path accumulates
+    int32-exactly (previously fell to the relaxed bf16 plane kernels)."""
+    from gemlite_tpu.helper import A8W158_INT_dynamic
+    rng = np.random.default_rng(11)
+    w = rng.integers(-1, 2, size=(N, K)).astype(np.float32)
+    layer = A8W158_INT_dynamic(dtype=jnp.float32).from_weights(w, 0.01)
+    meta = layer.meta
+    assert (meta.W_group_mode, meta.channel_scale_mode) == (1, 3)
+    assert meta.W_nbits == 2 and meta.zero_is_scalar
+
+    cfg = select_int8_decode_config(meta, M, N, K)
+    assert can_use_int8_decode(meta, M, N, K, cfg), (meta, cfg)
+
+    x = _x_int8(M, seed=12)
+    sx = np.full((M, 1), 1.0, np.float32)
+    y = pallas_int8_decode(jnp.asarray(x), layer.W_q, jnp.ones((1, N), jnp.float32),
+                           layer.zeros, jnp.asarray(sx), meta, cfg)
+    raw = x.astype(np.int64) @ w.astype(np.int64).T     # codes - 1 == w
+    np.testing.assert_array_equal(np.asarray(y, np.float64),
+                                  raw.astype(np.float64))
+
+
+@pytest.mark.parametrize("M", [1, 8])
+def test_channelwise_w4_nibble_exact(M):
+    """Channel-wise W4 + channel-wise zeros (mode 1 + csm 3): cw nibble path."""
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 16, size=(N, K)).astype(np.uint8)
+    scales = (rng.uniform(0.5, 1.5, (N, 1)) * 2.0**-8).astype(np.float32)
+    zeros = rng.integers(0, 16, (N, 1)).astype(np.float32)
+    layer = GemLiteLinear(4, None, K, N, DType.INT8, DType.FP32,
+                          scaled_activations=True).pack(codes, scales, zeros)
+    meta = layer.meta
+    assert (meta.W_group_mode, meta.channel_scale_mode) == (1, 3)
+
+    cfg = select_int8_decode_config(meta, M, N, K)
+    assert can_use_int8_decode(meta, M, N, K, cfg), (meta, cfg)
+
+    x = _x_int8(M, seed=14)
+    sx = np.full((M, 1), 1.0, np.float32)
+    y = pallas_int8_decode(jnp.asarray(x), layer.W_q, jnp.ones((1, N), jnp.float32),
+                           layer.zeros, jnp.asarray(sx), meta, cfg)
+    raw = x.astype(np.int64) @ (codes.astype(np.int64) - zeros.astype(np.int64)).T
+    np.testing.assert_array_equal(np.asarray(y, np.float64),
+                                  raw.astype(np.float64))
+
+
+def test_int8_exact_coverage_real_configs():
+    """Every helper-producible INT8-activation decode config on real model
+    shapes lands on the exact int8 kernel (no silent bf16 fallback).
+    The residual non-exact configs are documented in COVERAGE.md."""
+    llama_shapes = [(4096, 4096), (4096, 14336), (14336, 4096),
+                    (4096, 6144), (8192, 8192), (8192, 28672)]
+    # (W_nbits, gs, W_group_mode, csm, elems, zero_is_scalar) per helper path
+    def metas_for(K, N):
+        out = []
+        # A8W8_INT8_dynamic: dense int8, mode 0, csm 3
+        out.append(("A8W8 dense", LayerMetaLike(8, K, 1, 0, 3, K, N, 0)))
+        # BitNet A8W158: W2 packed, scalar zero, mode 1 csm 3
+        out.append(("BitNet W2", LayerMetaLike(2, K, 16, 1, 3, K, N, 1)))
+        # channel-wise W4 asym int zeros: mode 1 csm 3
+        out.append(("cw W4", LayerMetaLike(4, K, 8, 1, 3, K, N, 0)))
+        # grouped W4/W2/W8 + int zeros (fma_mode=False): mode 3 csm 2
+        for nb, gs in [(4, 64), (4, 128), (2, 128), (8, 64), (8, 128)]:
+            out.append((f"W{nb} gs{gs}",
+                        LayerMetaLike(nb, gs, 32 // nb, 3, 2, K, N, 0)))
+        return out
+
+    from gemlite_tpu.core import LayerMeta
+    def LayerMetaLike(nb, gs, elems, mode, csm, K, N, zscal):
+        return LayerMeta(
+            scaled_activations=1, W_nbits=nb, group_size=gs,
+            unpack_mask=2**nb - 1, elements_per_sample=elems,
+            input_dtype=DType.INT8.value, output_dtype=DType.FP32.value,
+            acc_dtype=DType.INT32.value, meta_dtype=DType.FP32.value,
+            channel_scale_mode=csm, W_group_mode=mode, data_contiguous=1,
+            in_features=K, out_features=N, zero_is_scalar=zscal,
+            packing_bitwidth=32)
+
+    holes = []
+    for K, N in llama_shapes:
+        for name, meta in metas_for(K, N):
+            for M in (1, 2, 4, 8, 16, 32, 64):
+                cfg = select_int8_decode_config(meta, M, N, K)
+                if not can_use_int8_decode(meta, M, N, K, cfg):
+                    holes.append((name, M, N, K))
+    assert not holes, f"exact-path holes: {holes[:20]}"

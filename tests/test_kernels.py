@@ -135,6 +135,47 @@ def test_int8_mxu_path():
     assert err / scale < 1e-3, err / scale
 
 
+@pytest.mark.parametrize("e5m2", [False, True])
+def test_fp8_codec_exhaustive(e5m2):
+    """All 256 fp8 codes decode bit-exactly vs ml_dtypes through the kernel
+    codec (_fp8_planes), including subnormals and signed zero. The only
+    excluded codes are the non-finite ones (e4m3fn NaN / e5m2 inf+nan),
+    whose documented decode is the normal-formula extension."""
+    import ml_dtypes
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from gemlite_tpu.ops.pallas_decode import _fp8_planes
+
+    codes = np.arange(256, dtype=np.uint32)
+    # every byte of word i = code i -> both halfwords of both planes = code i
+    w = np.broadcast_to((codes * 0x01010101)[:, None], (256, 128))
+    w = np.ascontiguousarray(w).view(np.int32).reshape(256, 128)
+
+    def kern(w_ref, o_ref):
+        planes = _fp8_planes(w_ref[...], c=1, t_rows=512, bn=128, e5m2=e5m2)
+        o_ref[...] = jnp.stack(
+            [p.reshape(512, 128) for p in planes], 0).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((2, 512, 128), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(w))
+    out = np.asarray(out)
+
+    dt = ml_dtypes.float8_e5m2 if e5m2 else ml_dtypes.float8_e4m3fn
+    truth = codes.astype(np.uint8).view(dt).astype(np.float32)
+    finite = np.isfinite(truth)
+    # bitcast row split: word i -> plane rows 2i (low half) and 2i+1 (high)
+    got = out[:, 0::2, :]  # (2 planes, 256 words, 128 lanes)
+    for j in range(2):
+        for half in (got[j], out[j, 1::2, :]):
+            assert (half[finite] == truth[finite, None]).all(), (
+                np.where((half[:, 0] != truth) & finite))
+            assert (np.signbit(half[finite]) == np.signbit(truth[finite, None])).all()
+
+
 def test_deep_k_aligned_slices():
     """bk = 8*gs exercises the 8-aligned multi-row metadata slice path."""
     K, N, gs = 2048, 256, 32

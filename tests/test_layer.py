@@ -223,3 +223,39 @@ def test_bias():
     y = layer(x)
     y_ref = (x.astype(jnp.float32) @ jnp.asarray(W).T + bias.astype(jnp.float32))
     assert _err(y, y_ref) < 5e-3
+
+
+@pytest.mark.parametrize("requested", [8, 16, 64])
+def test_packing_bitwidth_normalized_to_fast_path(requested):
+    """pack(packing_bitwidth=8/16/64) stores int32 words (lossless container
+    change under LSB-first packing) and reaches the Pallas plane kernels —
+    bit-identical storage AND outputs vs a packing_bitwidth=32 pack.
+    Reference context: 8-bit packing is a GPU perf knob (core.py:229)."""
+    K, N, gs = 512, 256, 128
+    Wf, wq, sc, zr = gen_data(K, N, W_NBITS, gs)
+
+    def make(pb):
+        return GemLiteLinear(W_NBITS, group_size=gs, in_features=K,
+                             out_features=N, input_dtype=GEMLITE_DTYPE,
+                             output_dtype=GEMLITE_DTYPE).pack(
+                                 wq, sc, zr, packing_bitwidth=pb)
+
+    layer = make(requested)
+    base = make(32)
+    assert layer.packing_bitwidth == 32
+    assert layer.requested_packing_bitwidth == requested
+    assert layer.elements_per_sample == 32 // W_NBITS
+    assert layer.w_layout == 1, "must land on the plane-kernel folded layout"
+    assert (np.asarray(layer.W_q) == np.asarray(base.W_q)).all()
+
+    # and the folded layout actually dispatches to the Pallas decode kernel
+    from gemlite_tpu.ops.pallas_decode import (can_use_decode_kernel,
+                                               select_decode_config)
+    cfg = select_decode_config(layer.meta, 1, N, K)
+    assert can_use_decode_kernel(layer.meta, 1, N, K, cfg)
+
+    x = jnp.asarray(RNG.normal(size=(1, K)) * 0.1, COMPUTE_DTYPE)
+    y = layer(x)
+    e = _err(y, x.astype(jnp.float32) @ Wf.T)
+    assert e < 5e-3, e
+    assert (np.asarray(y) == np.asarray(base(x))).all()
