@@ -1,57 +1,161 @@
 # SPDX-License-Identifier: Apache-2.0
-"""Quantization-quality parity check: NLL of a quantized model vs its dense
-parent across processors (SURVEY.md section 7 step 10 — the perplexity-parity
-analogue of the reference's end-to-end accuracy claims).
+"""Real-checkpoint quantization-quality parity: perplexity of a REAL trained
+LM (HF safetensors checkpoint) dense vs quantized, on held-out real text —
+the perplexity-parity analogue of the reference's end-to-end Llama-3 accuracy
+claims (reference README.md:14,219; helper.py:34-85 conversion flow).
 
-Runs a tiny randomly-initialized Llama on random token streams — the ABSOLUTE
-numbers are meaningless, but the DELTA between dense and quantized NLL
-measures dequantization fidelity end to end through the real kernels.
+Pipeline exercised end to end:
+  HF checkpoint dir --load_hf_llama--> dense pytree --quantize_llama/
+  processors--> packed models --llama_forward--> NLL on held-out bytes.
 
-Usage: python examples/perplexity_parity.py
+The checkpoint (checkpoints/tiny_en_5m) is a 4.85M-param byte-level Llama
+trained on ~14 MB of real English documentation text (scripts/
+train_tiny_lm.py) — the smallest real LM available in this zero-egress build
+environment; the import/quantize flow is identical for Llama-3-8B.
+
+Optionally cross-checks the dense importer against the torch/transformers
+forward of the same checkpoint (--torch-check).
+
+Usage: python examples/perplexity_parity.py [--ckpt DIR] [--tokens N]
+       [--torch-check] [--write-parity-md]
 """
 import argparse
+import os
 import _pathfix  # noqa: F401
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_CKPT = os.path.join(REPO, "checkpoints", "tiny_en_5m")
 
-def nll(params, cfg, tokens):
+
+def batched_nll(params, cfg, tokens_2d, batch=16):
+    """Mean next-byte NLL over (R, S+1) windows, batched to bound memory."""
     import jax
     import jax.numpy as jnp
     from gemlite_tpu.models.llama import loss_fn
 
-    return float(jax.jit(lambda p, t_in, t_tgt: loss_fn(p, cfg, t_in, t_tgt))(
-        params, tokens[:, :-1], tokens[:, 1:]))
+    f = jax.jit(lambda p, t_in, t_tgt: loss_fn(p, cfg, t_in, t_tgt))
+    losses = []
+    for i in range(0, tokens_2d.shape[0], batch):
+        w = jnp.asarray(tokens_2d[i:i + batch])
+        losses.append(float(f(params, w[:, :-1], w[:, 1:])) * w.shape[0])
+    return sum(losses) / tokens_2d.shape[0]
+
+
+def torch_nll(ckpt, tokens_2d, batch=8):
+    """Same NLL through transformers' torch LlamaForCausalLM."""
+    import torch
+    from transformers import LlamaForCausalLM
+
+    model = LlamaForCausalLM.from_pretrained(ckpt, dtype=torch.float32)
+    model.eval()
+    tot, n = 0.0, 0
+    with torch.no_grad():
+        for i in range(0, tokens_2d.shape[0], batch):
+            w = torch.from_numpy(tokens_2d[i:i + batch].astype(np.int64))
+            logits = model(w[:, :-1]).logits.float()
+            logp = torch.log_softmax(logits, dim=-1)
+            nll = -torch.gather(logp, 2, w[:, 1:, None]).mean()
+            tot += float(nll) * w.shape[0]
+            n += w.shape[0]
+    return tot / n
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--ckpt", default=DEFAULT_CKPT)
+    ap.add_argument("--tokens", type=int, default=131072,
+                    help="held-out bytes to evaluate")
+    ap.add_argument("--seq", type=int, default=512)
+    ap.add_argument("--torch-check", action="store_true",
+                    help="also run the torch/transformers forward")
+    ap.add_argument("--write-parity-md", action="store_true")
     args = ap.parse_args()
 
     import jax.numpy as jnp
-    from gemlite_tpu.models import LlamaConfig, init_llama, quantize_llama
+    from gemlite_tpu.importers import load_hf_llama
+    from gemlite_tpu.models import quantize_llama
+    from gemlite_tpu.helper import A16W8_INT8
+    from gemlite_tpu.mx import A16W4_MXFP
 
-    cfg = LlamaConfig.tiny(vocab_size=512, hidden_size=256,
-                           intermediate_size=512, num_layers=4, num_heads=4,
-                           num_kv_heads=2, head_dim=64, max_seq_len=128)
-    dense = init_llama(cfg, seed=0)
-    rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size,
-                                      (args.batches, 64)), jnp.int32)
+    ho_path = os.path.join(args.ckpt, "holdout.txt")
+    data = np.frombuffer(open(ho_path, "rb").read(), np.uint8)
+    n_win = min(args.tokens, data.size - 1) // args.seq
+    wins = data[:n_win * args.seq + 1]
+    tokens = np.stack([wins[i * args.seq:(i + 1) * args.seq + 1]
+                       for i in range(n_win)]).astype(np.int32)
+    print(f"checkpoint: {args.ckpt}")
+    print(f"eval: {n_win} windows x {args.seq} held-out bytes")
 
-    base = nll(dense, cfg, tokens)
-    print(f"{'config':24s} {'nll':>8s} {'delta':>8s}")
-    print(f"{'dense bf16':24s} {base:8.4f} {0.0:8.4f}")
-    for name, kw in [
-        ("W8 gs=K", dict(W_nbits=8, group_size=cfg.hidden_size)),
-        ("W4 gs=64", dict(W_nbits=4, group_size=64)),
-        ("W4 gs=32", dict(W_nbits=4, group_size=32)),
-        ("W2 gs=32", dict(W_nbits=2, group_size=32)),
+    params, cfg = load_hf_llama(args.ckpt, dtype=jnp.bfloat16)
+
+    rows = []
+    base = batched_nll(params, cfg, tokens)
+    rows.append(("dense bf16", base))
+    for name, build in [
+        ("A16W8 (INT8 channel-wise)",
+         lambda: quantize_llama(params, processor=A16W8_INT8(dtype=jnp.bfloat16))),
+        ("W8 gs=128", lambda: quantize_llama(params, W_nbits=8, group_size=128)),
+        ("W4 gs=128", lambda: quantize_llama(params, W_nbits=4, group_size=128)),
+        ("W4 gs=64", lambda: quantize_llama(params, W_nbits=4, group_size=64)),
+        ("W2 gs=32", lambda: quantize_llama(params, W_nbits=2, group_size=32)),
+        ("MXFP4 (gs=32 e8m0)",
+         lambda: quantize_llama(params, processor=A16W4_MXFP(dtype=jnp.bfloat16))),
     ]:
-        q = quantize_llama(dense, **kw)
-        v = nll(q, cfg, tokens)
-        print(f"{name:24s} {v:8.4f} {v-base:+8.4f}")
+        q = build()
+        rows.append((name, batched_nll(q, cfg, tokens)))
+
+    if args.torch_check:
+        rows.append(("dense fp32 (torch/transformers)",
+                     torch_nll(args.ckpt, tokens)))
+
+    hdr = f"{'config':34s} {'nll/byte':>9s} {'bits/byte':>10s} {'ppl/byte':>9s} {'delta':>8s}"
+    lines = [hdr, "-" * len(hdr)]
+    for name, v in rows:
+        lines.append(f"{name:34s} {v:9.4f} {v/np.log(2):10.4f} "
+                     f"{np.exp(v):9.4f} {v-base:+8.4f}")
+    print("\n".join(lines))
+
+    if args.write_parity_md:
+        md = [
+            "# PARITY — real-checkpoint quantization quality",
+            "",
+            "End-to-end perplexity of a REAL trained LM, dense vs quantized,",
+            "through the full import->quantize->kernel path on held-out real",
+            "text. Reference analogue: end-to-end Llama-3 accuracy claims",
+            "(reference README.md:14,219).",
+            "",
+            "**Model**: byte-level Llama (4.85M params, 6 layers, hidden 256,",
+            "GQA 4/2 heads), trained with `scripts/train_tiny_lm.py` on ~14 MB",
+            "of real English documentation text; exported as a genuine HF",
+            "safetensors checkpoint (`checkpoints/tiny_en_5m`). No pretrained",
+            "public checkpoint is available in this zero-egress build",
+            "environment — this is the smallest real LM available; the",
+            "importer flow (`gemlite_tpu.importers.load_hf_llama` ->",
+            "`quantize_llama`) is identical for Llama-3-8B.",
+            "",
+            f"**Eval**: {n_win} x {args.seq} held-out bytes, next-byte NLL.",
+            "",
+            "| config | nll/byte | bits/byte | ppl/byte | delta vs dense |",
+            "|---|---|---|---|---|",
+        ]
+        for name, v in rows:
+            md.append(f"| {name} | {v:.4f} | {v/np.log(2):.4f} | "
+                      f"{np.exp(v):.4f} | {v-base:+.4f} |")
+        md += [
+            "",
+            "Importer fidelity: `tests/test_importers.py` pins logit parity of",
+            "imported checkpoints against the torch/transformers forward",
+            "(rel err < 5e-4, >99% argmax agreement); the torch row above is",
+            "the same cross-check on this trained checkpoint.",
+            "",
+            f"Generated by `python examples/perplexity_parity.py --torch-check"
+            f" --write-parity-md` on backend shown in the run log.",
+        ]
+        with open(os.path.join(REPO, "PARITY.md"), "w") as f:
+            f.write("\n".join(md) + "\n")
+        print("wrote PARITY.md")
 
 
 if __name__ == "__main__":

@@ -236,6 +236,15 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
 
         if best_cfg is not None:
             store_config(family, sig, best_cfg)
+            if M == 1:
+                # all three M==1 family names (GEMV / GEMV_REVSPLITK /
+                # GEMV_SPLITK — reference registry core.py:56-66) dispatch to
+                # the SAME decode kernel here, so the measured winner applies
+                # under whichever name the user routes through (incl.
+                # forward_manual); mirror it so no family table stays empty
+                for alias in ("GEMV", "GEMV_REVSPLITK", "GEMV_SPLITK"):
+                    if alias != family:
+                        store_config(alias, sig, best_cfg)
             results[sig] = (family, best_cfg, best_t)
             if verbose:
                 logger.warning("M=%d %s best: %s (%.1f us)",

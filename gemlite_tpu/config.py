@@ -129,7 +129,7 @@ def config_signature(M_bucket, N, K, group_size, elements_per_sample, type_id):
 
 
 def lookup_config(family: str, sig: str):
-    if not KERNEL.ENABLE_CACHING:
+    if not KERNEL.ENABLE_CACHING or family.startswith("__"):
         return None
     fam = GEMLITE_TPU_CONFIG_CACHE.get(family)
     d = fam.get(sig) if fam is not None else None
@@ -166,6 +166,7 @@ def load_config(filename: str, print_error: bool = True, overwrite: bool = False
     try:
         with _FILE_LOCK, open(filename, "r") as f:
             config = json.load(f)
+        config = {k: v for k, v in config.items() if not k.startswith("__")}
         if overwrite:
             GEMLITE_TPU_CONFIG_CACHE = config
         else:
@@ -203,6 +204,8 @@ def ensure_default_config():
         with _FILE_LOCK, open(path, "r") as f:
             config = json.load(f)
         for name, entries in config.items():
+            if name.startswith("__"):   # table metadata, not a family
+                continue
             fam = GEMLITE_TPU_CONFIG_CACHE.setdefault(name, {})
             for sig, cfg in entries.items():
                 fam.setdefault(sig, cfg)

@@ -109,6 +109,13 @@ def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
 
     def q(w):
         w = np.asarray(w, dtype=np.float32)
+        if hasattr(processor, "from_linear") and hasattr(processor, "mx_fp8_dtype"):
+            # MXFP/NVFP processors own their codebook quantizer — feed them
+            # float weights through the same path from_linear uses
+            class _W:  # minimal linear-like shim
+                weight = w
+                bias = None
+            return processor.from_linear(_W(), del_orig=False)
         if hasattr(processor, "W_nbits") and processor.W_nbits is not None:
             return _warmup_quantize(processor, w, group_size)
         return processor.from_weights(w, None)

@@ -15,6 +15,8 @@ import pytest
 from gemlite_tpu.models import LlamaConfig, init_llama, quantize_llama
 from gemlite_tpu.serving import ContinuousBatchingEngine
 
+pytestmark = pytest.mark.slow  # mesh/serving heavyweight (deselect: -m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def server():

@@ -141,3 +141,59 @@ def test_cache_config_roundtrip(tmp_path):
     assert cfg_mod.load_config(path)
     assert lookup_config("GEMM", "sig1") == KernelConfig(64, 512, 1024)
     cfg_mod.reset_config()
+
+
+def test_shipped_tables_chip_aware():
+    """The three shipped per-chip tables load, cover every kernel family,
+    and are MATERIALLY different per chip (v5p/v6e are chip-aware
+    derivations of the measured v5e table, not clones)."""
+    import json
+    import os
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "gemlite_tpu", "configs")
+    tables = {}
+    for tag in ("v5_lite", "v5p", "v6_lite"):
+        with open(os.path.join(root, f"{tag}.json")) as f:
+            tables[tag] = json.load(f)
+    fams = ["GEMV", "GEMV_REVSPLITK", "GEMV_SPLITK", "GEMM_SPLITK", "GEMM"]
+    for tag, t in tables.items():
+        for fam in fams:
+            assert t.get(fam), f"{tag}: family {fam} has no entries"
+    # derived tables document their method and differ from the source AND
+    # from each other
+    strip = lambda t: {k: v for k, v in t.items() if not k.startswith("__")}
+    for tag in ("v5p", "v6_lite"):
+        assert "method" in tables[tag].get("__metadata__", {}), tag
+        assert strip(tables[tag]) != strip(tables["v5_lite"]), tag
+    assert strip(tables["v5p"]) != strip(tables["v6_lite"])
+
+    # every entry (incl. the scaled ones) parses as a valid KernelConfig
+    from gemlite_tpu.config import KernelConfig
+    for tag, t in tables.items():
+        for fam, entries in strip(t).items():
+            for sig, d in entries.items():
+                c = KernelConfig.from_dict(d)
+                assert c.route == "fallback" or c.block_n > 0, (tag, fam, sig)
+
+
+def test_loader_ignores_metadata_key():
+    """load_config merges tables with a __metadata__ key without treating it
+    as a kernel family."""
+    import json
+    from gemlite_tpu import config as C
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.json")
+        with open(p, "w") as f:
+            json.dump({"__metadata__": {"method": "x"},
+                       "GEMM": {"(1, 2, 3, 4, 5, 6)": {"block_m": 8,
+                                                       "block_n": 128,
+                                                       "block_k": 128}}}, f)
+        saved = dict(C.GEMLITE_TPU_CONFIG_CACHE)
+        try:
+            assert C.load_config(p, print_error=False)
+            assert C.lookup_config("GEMM", "(1, 2, 3, 4, 5, 6)") is not None
+            assert C.lookup_config("__metadata__", "method") is None
+        finally:
+            C.GEMLITE_TPU_CONFIG_CACHE.clear()
+            C.GEMLITE_TPU_CONFIG_CACHE.update(saved)

@@ -31,6 +31,7 @@ def _tokens(b, s):
     return jnp.asarray(RNG.integers(0, CFG.vocab_size, (b, s)), jnp.int32)
 
 
+@pytest.mark.slow
 def test_quantized_forward_close_to_float(params, qparams):
     tokens = _tokens(2, 16)
     lf = llama_forward(params, CFG, tokens).astype(jnp.float32)
@@ -41,6 +42,7 @@ def test_quantized_forward_close_to_float(params, qparams):
     assert rel < 0.3, rel
 
 
+@pytest.mark.slow
 def test_decode_matches_full_forward(qparams):
     tokens = _tokens(2, 16)
     kv = init_kv_cache(CFG, 2)
@@ -54,6 +56,7 @@ def test_decode_matches_full_forward(qparams):
     assert err < 5e-3, err
 
 
+@pytest.mark.slow
 def test_multi_step_generation(qparams):
     """Greedy generation loop with jitted decode step."""
     tokens = _tokens(1, 8)
@@ -69,6 +72,7 @@ def test_multi_step_generation(qparams):
     assert len(out) == 4
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(qparams):
     tokens = _tokens(2, 17)
     loss1, p1 = train_step(qparams, CFG, tokens[:, :-1], tokens[:, 1:], lr=1e-2)
@@ -80,6 +84,7 @@ def test_train_step_reduces_loss(qparams):
     assert jnp.array_equal(w0, w1)
 
 
+@pytest.mark.slow
 def test_sharded_model_matches_single(qparams):
     mesh = make_mesh({"dp": -1, "tp": 2})
     sparams = shard_llama(qparams, mesh, axis="tp")
@@ -90,6 +95,7 @@ def test_sharded_model_matches_single(qparams):
     assert err < 5e-3, err
 
 
+@pytest.mark.slow
 def test_per_slot_cache_len_positions(qparams):
     """llama_forward with a per-slot (B,) cache_len must align offsets
     against B, not S (previously misbroadcast: crashed for B != S and used

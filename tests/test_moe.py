@@ -12,6 +12,8 @@ from gemlite_tpu.models.moe import (
     moe_forward_a2a,
 )
 
+pytestmark = pytest.mark.slow  # mesh/serving heavyweight (deselect: -m 'not slow')
+
 
 @pytest.mark.parametrize("ep,top_k", [(2, 2), (4, 1), (8, 2)])
 def test_ep_matches_single_device(ep, top_k):

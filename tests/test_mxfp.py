@@ -173,6 +173,7 @@ def test_nvfp4_window_search_improves():
     assert not np.any(np.isnan(np.asarray(s2, np.float32)))
 
 
+@pytest.mark.slow
 def test_warmup_every_processor_family():
     """warmup() must build + run a layer for every processor constructor
     surface: self-quantizing (A16W8), pre-quantized INT Wn, MXFP/NVFP

@@ -46,6 +46,7 @@ def test_paged_write_gather_roundtrip():
         assert bool(jnp.all(v_all[b, o:o + S] == v[b]))
 
 
+@pytest.mark.slow
 def test_paged_decode_attention_matches_dense_reference():
     B, ps = 3, 8
     T = CFG.max_seq_len
@@ -81,6 +82,7 @@ def _run_engine(paged, total_pages=None, **kw):
     return eng.generate(_ENGINE_PROMPTS, max_new_tokens=8)
 
 
+@pytest.mark.slow
 def test_paged_engine_matches_dense_engine():
     outs_p = _run_engine(True)
     outs_d = _run_engine(False)

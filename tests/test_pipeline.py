@@ -14,6 +14,8 @@ from gemlite_tpu.parallel.pipeline import (
     split_stages, stack_stages, pipeline_apply,
 )
 
+pytestmark = pytest.mark.slow  # mesh/serving heavyweight (deselect: -m 'not slow')
+
 
 @pytest.fixture(scope="module")
 def model():

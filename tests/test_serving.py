@@ -18,6 +18,8 @@ from gemlite_tpu.models import (
     LlamaConfig, init_llama, quantize_llama, init_kv_cache,
     llama_prefill, llama_decode_step,
 )
+
+pytestmark = pytest.mark.slow  # mesh/serving heavyweight (deselect: -m 'not slow')
 from gemlite_tpu.serving import ContinuousBatchingEngine, Request
 
 
