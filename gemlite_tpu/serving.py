@@ -85,13 +85,34 @@ class ContinuousBatchingEngine:
                  draft: Optional[tuple] = None, spec_tokens: int = 4,
                  paged: bool = True, page_size: int = 128,
                  total_pages: Optional[int] = None,
-                 prefix_cache: bool = True):
+                 prefix_cache: bool = True,
+                 mesh=None, dp_axis: Optional[str] = None):
         from .models.llama import init_kv_cache
 
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.eos_id = eos_id
+        # data-parallel continuous batching: slots (the batch axis of the KV
+        # cache and every per-step token/length/temperature array) sharded
+        # over mesh axis `dp_axis`; combine with tp-sharded params
+        # (shard_llama) for 2D serving. Requires the dense bucketed cache
+        # (paged=False): the paged allocator is host-side content-addressed,
+        # so its pages have no stable slot->device affinity to shard over.
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        self._dp = None
+        if mesh is not None and dp_axis is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if paged:
+                raise ValueError("dp-sharded batching requires paged=False")
+            assert max_batch % mesh.shape[dp_axis] == 0, \
+                "max_batch must divide over the dp axis"
+            self._dp = {
+                "kv": NamedSharding(mesh, P(None, None, dp_axis)),
+                "b1": NamedSharding(mesh, P(dp_axis, None)),
+                "b": NamedSharding(mesh, P(dp_axis)),
+            }
         # speculative decoding: draft = (draft_params, draft_cfg) of a small
         # model sharing the tokenizer; spec_tokens = draft tokens per step
         self.draft = draft
@@ -141,6 +162,8 @@ class ContinuousBatchingEngine:
             self._table_dirty = False
         else:
             self.kv = init_kv_cache(cfg, max_batch)
+            if self._dp is not None:
+                self.kv = jax.device_put(self.kv, self._dp["kv"])
         # prefix caching (vLLM-style automatic prefix sharing): full prompt
         # pages are registered under a token-content hash chain; a later
         # prompt with the same prefix attaches those pages READ-ONLY (writes
@@ -725,9 +748,16 @@ class ContinuousBatchingEngine:
         # the dense cache falls back to the live-KV bucket bound
         t_act = (None if self.paged
                  else _next_bucket(max_len + 1, self.decode_buckets))
+        lens_j, temps_j = jnp.asarray(lens), jnp.asarray(temps)
+        if self._dp is not None:
+            # batch-sharded decode: pinning the per-step inputs to the dp
+            # axis forces GSPMD to run the whole forward batch-sharded
+            tokens = jax.device_put(tokens, self._dp["b1"])
+            lens_j = jax.device_put(lens_j, self._dp["b"])
+            temps_j = jax.device_put(temps_j, self._dp["b"])
         nxt, self.kv, self.key = self._decode_jit(
-            self.params, tokens, self.kv, jnp.asarray(lens),
-            self.key, jnp.asarray(temps), t_active=t_act)
+            self.params, tokens, self.kv, lens_j,
+            self.key, temps_j, t_active=t_act)
         nxt = np.asarray(nxt)
         self._counters["decode_steps"] += 1
         for slot in range(self.max_batch):
