@@ -141,6 +141,28 @@ def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
     return planes
 
 
+def _w8_planes(w, c, t_rows, bn):
+    """Packed-W8 byte planes as TRUE code values (0..255) in bf16, built from
+    two nibble half-planes per byte: v = (hi_p * 16 - 2176) + lo_p where
+    hi_p/lo_p = 128 + nibble via the 0x4300 magic bitcast. Every intermediate
+    is bf16-exact in this order (2048+16h is a multiple of 16 at 2^11;
+    16h - 128 and 16h + lo are < 256). Replaces the fp16 1024-magic byte
+    bitcast: Mosaic cannot lower int32->f16 vreg casts AT ALL ("Invalid
+    vector register cast"), so the fp16 route never worked on real TPUs.
+    Plane j covers bytes {j, j+2} of each word — the same row mapping as the
+    old halfword byte extraction, so fold units and stacking are unchanged.
+    The returned planes carry NO offset (the raw-dot correction uses 0)."""
+    planes = []
+    for j in range(2):
+        lo = pltpu.bitcast(((w >> (8 * j)) & 0x000F000F) | MAGIC16,
+                           jnp.bfloat16)
+        hi = pltpu.bitcast(((w >> (8 * j + 4)) & 0x000F000F) | MAGIC16,
+                           jnp.bfloat16)
+        v = (hi * jnp.bfloat16(16.0) - jnp.bfloat16(2176.0)) + lo
+        planes.append(v.reshape(c, t_rows, bn))
+    return planes
+
+
 def _odd_lo_planes(wlo, bk, bn):
     """1-bit low plane for odd bit-widths (W3/W5): 16 halfword planes built
     on fixed 128-code fold units -> (bk, bn) bf16 values 128 + lo, natural
@@ -167,11 +189,11 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     c = bk // gs            # groups per k-step (>= 1)
     t_rows = gs // n_planes  # bf16 plane rows per group
     # sub-byte codes fit bf16's 7-bit mantissa (v = 128 + code exact);
-    # 8-bit codes need fp16's 10-bit mantissa (v = 1024 + code exact)
-    if w_codec is None and W_nbits == 8:
-        plane_magic, plane_dtype, offset = 0x64006400, jnp.float16, 1024.0
-    else:
-        plane_magic, plane_dtype, offset = MAGIC16, jnp.bfloat16, OFFSET
+    # 8-bit codes are built from two bf16 nibble planes (offset-free TRUE
+    # codes — see _w8_planes; int32->f16 bitcasts don't lower on Mosaic)
+    w8_codes = w_codec is None and W_nbits == 8
+    plane_magic, plane_dtype = MAGIC16, jnp.bfloat16
+    offset = 0.0 if w8_codes else OFFSET
 
     def kernel(*refs):
         i = 0
@@ -203,6 +225,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                                  e5m2=(w_codec == "fp8w5"))   # TRUE values
         elif w_codec == "fp4":
             planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
+        elif w8_codes:
+            planes = _w8_planes(w, c, t_rows, bn)             # TRUE codes
         else:
             # integer codes + offset, 3 VPU ops/word
             planes = [
@@ -232,13 +256,6 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             xg = jnp.swapaxes(x_ref[...], 0, 1)    # (bm, c, gs) -> (c, bm, gs)
         else:
             xg = x_ref[...]                        # (c, bm, gs)
-        if plane_dtype == jnp.float16:
-            # 8-bit codes need fp16's 10-bit mantissa (1024 + code exact),
-            # but fp16 ACTIVATIONS would overflow at |x| > 65504 (LLM outlier
-            # activations approach this) — so x stays bf16 and the dot runs
-            # in f32, exact for both operands (matches the prefill kernel).
-            bg = bg.astype(jnp.float32)
-            xg = xg.astype(jnp.float32)
         raw = jax.lax.dot_general(
             xg, bg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (c, bm, bn)
@@ -377,6 +394,13 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     t_rows = gs // n_planes
     if t_rows % 8:
         return False  # sublane-aligned plane reshape
+    if getattr(meta, "w_layout", 0):
+        # folded x spec is (bm, c, gs): Mosaic requires the 2nd-minor block
+        # dim (c = bk // gs) to be 8-divisible or cover the whole G_eff axis
+        # (interpret mode does not enforce this — a TPU-only constraint)
+        c_blk = bk // gs
+        if c_blk % 8 and c_blk != K // gs:
+            return False
     if M > cfg.block_m:
         return False  # grid has no M dimension; bm must cover (padded) M
     real_gs = meta.group_size
@@ -406,19 +430,38 @@ def select_decode_config(meta, M, N, K) -> KernelConfig:
         bm *= 2
     folded = bool(getattr(meta, "w_layout", 0))
     bn_order = (2048, 1024, 4096, 512, 256, 128)
-    bn = next((c for c in bn_order if N % c == 0), 0)
     bk_order = (1024, 2048, 512, 4096, 256, 128)
-    bk = 0
-    for cand in bk_order:
-        if K % cand or cand % 128:
+
+    def pick_bk(bn):
+        for cand in bk_order:
+            if K % cand or cand % 128:
+                continue
+            gse = _effective_gs(meta, K, cand)
+            if cand % gse:
+                continue
+            if folded:
+                # Mosaic folded-x constraint: c = bk//gs must be 8-divisible
+                # or cover the whole G_eff axis (can_use_decode_kernel)
+                c_blk = cand // gse
+                if c_blk % 8 and c_blk != K // gse:
+                    continue
+            if folded and bn and cand * bn * 2 > 12 * 1024 * 1024:
+                continue  # bound the stacked-plane VMEM buffer
+            return cand
+        return 0
+
+    # co-select: large fold units (e.g. channel-wise gs_eff=512 forcing
+    # bk=8*gs) may need a narrower bn to fit the VMEM plane bound
+    bn = bk = 0
+    for bn_cand in bn_order:
+        if N % bn_cand:
             continue
-        gse = _effective_gs(meta, K, cand)
-        if cand % gse:
-            continue
-        if folded and bn and cand * bn * 2 > 12 * 1024 * 1024:
-            continue  # bound the stacked-plane VMEM buffer
-        bk = cand
-        break
+        bk_cand = pick_bk(bn_cand)
+        if bk_cand:
+            bn, bk = bn_cand, bk_cand
+            break
+        if not bn:
+            bn = bn_cand  # remember the widest bn for the no-bk case
     return KernelConfig(block_m=bm, block_n=bn, block_k=bk)
 
 

@@ -64,10 +64,11 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     # merge. gs arrives as 32 in this mode; the scale row count is bk // 16.
     c = bk // gs
     t_rows = gs // n_planes
-    if w_codec is None and W_nbits == 8:
-        plane_magic, plane_dtype, offset = 0x64006400, jnp.float16, 1024.0
-    else:
-        plane_magic, plane_dtype, offset = MAGIC16, jnp.bfloat16, OFFSET
+    # 8-bit codes: two bf16 nibble planes per byte (offset-free TRUE codes,
+    # _w8_planes) — Mosaic cannot lower the old int32->f16 1024-magic bitcast
+    w8_codes = w_codec is None and W_nbits == 8
+    plane_magic, plane_dtype = MAGIC16, jnp.bfloat16
+    offset = 0.0 if w8_codes else OFFSET
 
     def kernel(*refs):
         i = 0
@@ -112,10 +113,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         # build arithmetic dtype: bf16 halves the VPU traffic of the f32
         # intermediate (codes/offsets stay exact below 256; the group-scale
         # multiply picks up one bf16 rounding) — opt-in via KernelConfig.
-        # W8 integer codes live at 1024+code (fp16 magic), beyond bf16's
-        # exact-integer range: that path always builds in f32.
-        cdt = (jnp.bfloat16 if build_bf16 and offset != 1024.0
-               else jnp.float32)
+        # W8 nibble-built codes are <= 255 and bf16-exact too.
+        cdt = jnp.bfloat16 if build_bf16 else jnp.float32
         bns = bn // n_sub
 
         def meta_rows(ref, h=0):
@@ -165,6 +164,10 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             elif w_codec == "fp4":
                 planes = _fp4_planes(w, n_planes, c, t_rows, bn_)
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
+            elif w8_codes:
+                from .pallas_decode import _w8_planes
+                planes = _w8_planes(w, c, t_rows, bn_)             # TRUE codes
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)
             else:
                 planes = [
                     pltpu.bitcast(((w >> (W_nbits * j)) & mask) | plane_magic,

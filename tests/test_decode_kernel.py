@@ -143,3 +143,35 @@ def test_dispatch_routes_decode_kernel():
     rel = np.mean(np.abs(np.asarray(y, np.float32) - ref)) / \
         (np.mean(np.abs(ref)) + 1e-6)
     assert rel < 5e-3, rel
+
+
+def test_selected_config_satisfies_mosaic_folded_constraint():
+    """TPU-only Mosaic rule (invisible to interpret mode): the folded x spec
+    (bm, c, gs) needs c = bk//gs divisible by 8 or covering the whole G_eff
+    axis. The selector must never emit a violating config (regression: A16W8
+    gs=K M=1 crashed the real-TPU dispatch with block (1, 2, 512))."""
+    import numpy as np
+    from gemlite_tpu import DType, GemLiteLinear
+    from gemlite_tpu.ops.pallas_decode import (_effective_gs,
+                                               can_use_decode_kernel,
+                                               select_decode_config)
+    rng = np.random.default_rng(0)
+    cases = [(8, None, 4096, 4096), (4, None, 4096, 4096),
+             (2, None, 4096, 4096), (4, 128, 4096, 4096),
+             (4, 64, 2048, 1024), (8, None, 8192, 8192),
+             (4, None, 2048, 1024), (1, 128, 4096, 4096)]
+    for W, gs, K, N in cases:
+        gse = gs or K
+        W_q = rng.integers(0, 2**W, size=(N, K)).astype(np.uint8)
+        G = N * K // gse
+        sc = (rng.uniform(0.5, 1.5, (G, 1)) * 2.0**-8).astype(np.float32)
+        zr = rng.integers(0, 2**W, (G, 1)).astype(np.float32)
+        layer = GemLiteLinear(W, gs, K, N, DType.BF16, DType.BF16).pack(
+            W_q, sc, zr)
+        cfg = select_decode_config(layer.meta, 1, N, K)
+        if not can_use_decode_kernel(layer.meta, 1, N, K, cfg):
+            continue  # falls to another kernel; nothing to check
+        if layer.w_layout:
+            g = _effective_gs(layer.meta, K, cfg.block_k)
+            c = cfg.block_k // g
+            assert c % 8 == 0 or c == K // g, (W, gs, K, N, cfg)
