@@ -124,8 +124,11 @@ def select_int8_decode_config(meta, M, N, K) -> KernelConfig:
     for cand in (1024, 2048, 512, 4096, 256, 128):
         if K % cand or (gs and cand % gs):
             continue
-        if gs and u8 and cand // gs > 16:
-            continue  # grouped u8 is a static unroll of c flat dots
+        if gs and u8 and cand // gs > 8:
+            # grouped u8 statically unrolls c flat dots; c=16 compiles for
+            # ~30 min on real Mosaic (measured) — the gate accepts tuned
+            # entries up to 16, but the default selection caps at 8
+            continue
         bk = cand
         break
     return KernelConfig(block_m=bm, block_n=bn, block_k=bk)
@@ -134,12 +137,14 @@ def select_int8_decode_config(meta, M, N, K) -> KernelConfig:
 def _make_kernel(*, kind, W_nbits, W_group_mode, channel_scale_mode,
                  zero_is_scalar, has_scales, has_zeros, has_scales_x,
                  out_jdtype, bm, bn, bk, gs, n_k, cw=False):
-    # cw: channel-wise nibble layer run through the grouped machinery with
-    # unit = bk — meta strips are single rows indexed at 0, not at k*c.
-    grouped = gs > 0
+    # cw: channel-wise nibble layer — the byte-plane build uses unit = bk
+    # (c == 1), then the FLAT dot/correction branch applies (meta strips are
+    # channel-wise, valid for every k block; a batched c=1 matmul trips a
+    # Mosaic internal check)
+    grouped = gs > 0 and not cw
     P = 8 // W_nbits if kind == "nibble" else 1
-    t8 = (gs // P) if grouped else 0
-    c = (bk // gs) if grouped else 1
+    t8 = (gs // P) if gs else 0
+    c = (bk // gs) if gs else 1
     off8 = 128 if kind == "u8_packed" else 0
     # int32 accumulation is exact whenever no float scale enters the k-loop;
     # per-group scales (W_group_mode 2/3 with has_scales) force f32 partials
@@ -177,6 +182,8 @@ def _make_kernel(*, kind, W_nbits, W_group_mode, channel_scale_mode,
                 for p in range(P)
             ]
             bg = jnp.stack(planes, axis=1).reshape(c, gs, bn)
+            if cw:
+                bg = bg.reshape(gs, bn)   # c == 1: flat-branch operand
 
         if grouped and kind == "u8_packed":
             # flat per-group dots, statically unrolled over the c groups of
@@ -314,12 +321,14 @@ def pallas_int8_decode(x, W_q, scales, zeros, scales_x, meta,
 
     in_specs = []
     args = []
-    if gs:
+    if gs and not cw:
         G_eff = K // gs
         xq = xq.reshape(Mp, G_eff, gs)
         in_specs.append(pl.BlockSpec((bm, bk // gs, gs), lambda j, k: (0, k, 0),
                                      memory_space=pltpu.VMEM))
     else:
+        # flat (bm, bk) block — also used by cw (unit = bk; a (bm, 1, gs)
+        # spec would violate Mosaic's 8-sublane block rule)
         in_specs.append(pl.BlockSpec((bm, bk), lambda j, k: (0, k),
                                      memory_space=pltpu.VMEM))
     args.append(xq)

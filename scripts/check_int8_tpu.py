@@ -98,5 +98,44 @@ def main():
     print("INT8 TPU CHECK OK", flush=True)
 
 
+
+
+def main_cw():
+    """Channel-wise nibble (cw) path: BitNet W2 scalar-zero + channel-wise
+    W4 strip zeros, int32 bit-exact on the live chip."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    import jax.numpy as jnp
+
+    from gemlite_tpu import DType
+    from gemlite_tpu.helper import A8W158_INT_dynamic
+    from gemlite_tpu.ops.pallas_int8 import (
+        can_use_int8_decode, pallas_int8_decode, select_int8_decode_config)
+
+    N, K = 1024, 4096
+    rng = np.random.default_rng(3)
+    w = rng.integers(-1, 2, size=(N, K)).astype(np.float32)
+    layer = A8W158_INT_dynamic(dtype=jnp.float32).from_weights(w, 0.01)
+    meta = layer.meta
+    M = 8
+    cfg = select_int8_decode_config(meta, M, N, K)
+    assert can_use_int8_decode(meta, M, N, K, cfg), (meta, cfg)
+    x = rng.integers(-128, 128, size=(M, K)).astype(np.int8)
+    y = pallas_int8_decode(jnp.asarray(x), layer.W_q,
+                           jnp.ones((1, N), jnp.float32), layer.zeros,
+                           jnp.ones((M, 1), jnp.float32), meta, cfg,
+                           interpret=False)
+    want = x.astype(np.int64) @ w.astype(np.int64).T
+    np.testing.assert_array_equal(np.asarray(y, np.float64),
+                                  want.astype(np.float64))
+    print("bitnet-cw W2: bit-exact", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--cw-only" in sys.argv:
+        main_cw()
+    else:
+        main()
+        main_cw()
