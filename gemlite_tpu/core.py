@@ -298,13 +298,17 @@ class GemLiteLinear:
             self.orig_shape = (self.out_features, self.in_features)
 
         # --- weight storage -------------------------------------------------
-        if is_mx_dtype(self.input_dtype) and self.W_nbits == 8 \
-           and W_q.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
-            # MXFP8 weights: store the fp8 BITS packed 4-per-int32 so the
-            # plane-unpack kernels' fp8->bf16 bit remap applies (bytes stored
-            # are identical to the fp8 values; only the container changes)
+        if self.W_nbits == 8 and W_q.dtype in (jnp.float8_e4m3fn,
+                                               jnp.float8_e5m2):
+            # fp8 weights (MXFP8 block-scaled AND plain A8W8-FP8 channel-wise
+            # alike): store the fp8 BITS packed 4-per-int32 so the plane
+            # kernels' exact fp8->bf16 bit remap applies (bytes stored are
+            # identical to the fp8 values; only the container changes).
+            # w_code_dtype marks the flavor — nonzero distinguishes fp8 bit
+            # codes from packed INTEGER W8 codes at dispatch.
             self.w_code_dtype = (DType.FP8e5.value
-                                 if W_q.dtype == jnp.float8_e5m2 else 0)
+                                 if W_q.dtype == jnp.float8_e5m2
+                                 else DType.FP8e4.value)
             W_q = jax.lax.bitcast_convert_type(W_q, jnp.uint8)
             packing_bitwidth = 32
         codes_2d = None
@@ -448,7 +452,9 @@ class GemLiteLinear:
         K, N = self.in_features, self.out_features
         if packing_bitwidth != 32 or K is None or N is None:
             return None
-        if self.W_group_mode not in (1, 2, 3, 4) or self.channel_scale_mode == 4:
+        fp8_codes = bool(getattr(self, "w_code_dtype", 0))
+        allowed_modes = (0, 1, 2, 3, 4) if fp8_codes else (1, 2, 3, 4)
+        if self.W_group_mode not in allowed_modes or self.channel_scale_mode == 4:
             return None
         if self.W_nbits not in (1, 2, 4, 8):
             return None

@@ -59,6 +59,7 @@ def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
         meta_dtype=meta.meta_dtype,
         zero_is_scalar=bool(meta.zero_is_scalar),
         w_layout=getattr(meta, "w_layout", 0),
+        w_code_dtype=getattr(meta, "w_code_dtype", 0),
     )
 
 

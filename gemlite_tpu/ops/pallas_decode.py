@@ -279,7 +279,11 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 m = m * 0.05                            # NVFP4 meta-scale
             return m
 
-        if W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
+        if W_group_mode == 0:
+            # non-quantized true-value codes (A8W8-FP8 post-scale, csm 3):
+            # fp8 planes decode exactly, epilogue applies the channel scales
+            contrib = raw
+        elif W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
             # fp4/fp8 planes are true values: just the block scale, post-dot
             contrib = raw * meta_rows(s_ref)
         elif W_group_mode == 2:
@@ -357,25 +361,44 @@ def _effective_gs(meta, K: int, bk: int) -> int:
     return min(gs, bk)
 
 
+def fp8_coded(meta) -> bool:
+    """True when W_q holds fp8 BIT PATTERNS packed 4-per-int32 (MXFP8 block-
+    scaled or plain A8W8-FP8 channel-wise). w_code_dtype != 0 marks fp8 bit
+    codes since round 3; pre-existing MXFP8-e4m3 checkpoints stored 0, so MX
+    mode-2 W8 layers are also accepted."""
+    from ..dtypes import is_mx_dtype
+    if meta.W_nbits != 8 or meta.elements_per_sample != 4:
+        return False
+    if getattr(meta, "w_code_dtype", 0) != 0:
+        return True
+    return is_mx_dtype(DType(meta.input_dtype)) and meta.W_group_mode == 2
+
+
 def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     """Constraints for the plane raw-dot decode kernel."""
     from ..dtypes import is_mx_dtype
     input_dtype = DType(meta.input_dtype)
-    mx_fp8w = (is_mx_dtype(input_dtype) and meta.W_nbits == 8
-               and meta.elements_per_sample == 4 and meta.W_group_mode == 2)
-    w8_codes = (not is_mx_dtype(input_dtype) and meta.W_nbits == 8
-                and meta.elements_per_sample == 4)
-    if meta.W_nbits not in (1, 2, 4) and not (mx_fp8w or w8_codes):
+    fp8w = fp8_coded(meta)
+    w8_codes = (not is_mx_dtype(input_dtype) and not fp8w
+                and meta.W_nbits == 8 and meta.elements_per_sample == 4)
+    if meta.W_nbits not in (1, 2, 4) and not (fp8w or w8_codes):
         return False
     if meta.elements_per_sample != 32 // meta.W_nbits:
         return False  # requires int32 packing
-    if meta.channel_scale_mode == 4 or meta.W_group_mode not in (1, 2, 3, 4):
+    if meta.channel_scale_mode == 4:
+        return False
+    if fp8w:
+        # fp8 planes are TRUE values: raw (mode 0, post-scale) or block-
+        # scaled (mode 2) only
+        if meta.W_group_mode not in (0, 2):
+            return False
+    elif meta.W_group_mode not in (1, 2, 3, 4):
         return False
     if is_mx_dtype(input_dtype):
         # MXFP4-coded weights take the fp4 bit-remap plane path, fp8 weights
         # the direct-convert path; dynamic MX activations arrive
         # fake-quantized (csm already rewritten to 0/2)
-        if not mx_fp8w and (meta.W_nbits != 4 or meta.W_group_mode != 2):
+        if not fp8w and (meta.W_nbits != 4 or meta.W_group_mode != 2):
             return False
     else:
         cj = to_jax_dtype(input_dtype)
@@ -487,8 +510,7 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     out_jdtype = to_jax_dtype(meta.output_dtype)
 
     from ..dtypes import is_mx_dtype
-    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-               and meta.elements_per_sample == 4)
+    mx_fp8w = fp8_coded(meta)
     folded = bool(getattr(meta, "w_layout", 0))
     # W8 integer codes use the fp16 exponent trick for the PLANES; x stays
     # bf16 (fp16 x would overflow for |x| > 65504) and the dot runs in f32

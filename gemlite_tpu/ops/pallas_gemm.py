@@ -209,6 +209,11 @@ def can_use_pallas(meta, M, N, K, cfg: KernelConfig) -> bool:
     """Shape/config constraints for the fused kernel; otherwise oracle."""
     if meta.channel_scale_mode == 4:  # MX path handled separately
         return False
+    if getattr(meta, "w_code_dtype", 0):
+        # fp8 BIT codes: this kernel's unpack treats packed words as integer
+        # codes; fp8-coded layers are served by the plane kernels (or the
+        # oracle, which bitcasts the unpacked bytes)
+        return False
     if getattr(meta, "w_layout", 0):
         # folded (plane-order) weights: this kernel unpacks assuming the
         # reference LSB-first order; folded layers are guaranteed servable by

@@ -183,7 +183,11 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                     from .pallas_decode import _odd_lo_planes
                     vlo = _odd_lo_planes(wlo_ref[...], bk, bn_).reshape(c, gs, bn_)
                     v = (v * jnp.bfloat16(2.0) - jnp.bfloat16(256.0)) + vlo
-            if W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
+            if W_group_mode == 0:
+                # raw true-value codes (A8W8-FP8 post-scale: fp8 planes
+                # decode exactly; channel scales apply post-accumulation)
+                b = v.astype(cdt)
+            elif W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
                 # true-value planes: block scale only
                 b = v.astype(cdt) * meta_rows(s_ref, h)
             elif W_group_mode == 2:
@@ -326,8 +330,8 @@ def pallas_dequantize(W_q, scales, zeros, meta, interpret=None, W_lo=None):
         gs = 32
 
     from ..dtypes import is_mx_dtype
-    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-               and meta.elements_per_sample == 4)
+    from .pallas_decode import fp8_coded
+    mx_fp8w = fp8_coded(meta)
     w_codec = scale_codec = None
     if mx_fp8w or (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 4):
         if mx_fp8w:
@@ -422,15 +426,18 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig,
     scale_mode 4): transposed fp8 activation codes + per-group f32 scales
     stream into the kernel instead of bf16 fake-quantized activations."""
     from ..dtypes import is_mx_dtype
-    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-               and meta.elements_per_sample == 4 and meta.W_group_mode == 2)
-    w8_codes = (not is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-                and meta.elements_per_sample == 4)
-    if meta.W_nbits not in (1, 2, 4) and not (mx_fp8w or w8_codes):
+    from .pallas_decode import fp8_coded
+    fp8w = fp8_coded(meta)
+    w8_codes = (not is_mx_dtype(DType(meta.input_dtype)) and not fp8w
+                and meta.W_nbits == 8 and meta.elements_per_sample == 4)
+    if meta.W_nbits not in (1, 2, 4) and not (fp8w or w8_codes):
         return False
     if meta.elements_per_sample != 32 // meta.W_nbits:
         return False
-    if meta.W_group_mode not in (1, 2, 3, 4):
+    if fp8w:
+        if meta.W_group_mode not in (0, 2):
+            return False  # fp8 planes are TRUE values (raw or block-scaled)
+    elif meta.W_group_mode not in (1, 2, 3, 4):
         return False
     if meta.channel_scale_mode == 4:
         # only the mx_x path serves csm 4 in-kernel; callers fall back to
@@ -443,7 +450,7 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig,
     elif mx_x:
         return False
     if is_mx_dtype(DType(meta.input_dtype)):
-        if not mx_fp8w and (meta.W_nbits != 4 or meta.W_group_mode != 2):
+        if not fp8w and (meta.W_nbits != 4 or meta.W_group_mode != 2):
             return False
     else:
         cj = to_jax_dtype(DType(meta.input_dtype))
@@ -544,8 +551,8 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
     out_jdtype = to_jax_dtype(meta.output_dtype)
 
     from ..dtypes import is_mx_dtype
-    mx_fp8w = (is_mx_dtype(DType(meta.input_dtype)) and meta.W_nbits == 8
-               and meta.elements_per_sample == 4)
+    from .pallas_decode import fp8_coded
+    mx_fp8w = fp8_coded(meta)
     mx_ags = 0
     Mp = _cdiv(M, bm) * bm
     if x_mx is not None:

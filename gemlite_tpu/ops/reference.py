@@ -122,6 +122,7 @@ def forward_ref(
     meta_dtype: int,
     zero_is_scalar: bool = False,
     w_layout: int = 0,
+    w_code_dtype: int = 0,
 ):
     """Oracle fused forward: out = channel_scale(x @ dequant(unpack(W_q))).
 
@@ -140,6 +141,11 @@ def forward_ref(
     b = unpack_rows_ref(W_q_packed, W_nbits, elements_per_sample, K,
                         w_layout=w_layout, group_size=group_size,
                         input_dtype=input_dtype)
+    if w_code_dtype:
+        # W_q holds fp8 BIT PATTERNS packed 4-per-int32 (A8W8-FP8 path):
+        # reinterpret the unpacked bytes as fp8 values
+        b = jax.lax.bitcast_convert_type(
+            b.astype(jnp.uint8), to_jax_dtype(DType(w_code_dtype)))
     b = dequantize_ref(
         b, scales, zeros,
         W_group_mode=W_group_mode,

@@ -105,6 +105,29 @@ def main():
         return GemLiteLinear(W_nbits, gs_eff, K, N, DType.BF16,
                              DType.BF16).pack(W_q, scales, zeros)
 
+    import time as _time
+    from jax import lax
+
+    def timed_slope_args(meta, x, tensors, n1, n2, repeats=4):
+        """Slope timing with the layer tensors passed as JIT ARGUMENTS —
+        closure-captured device arrays get embedded in the compile payload,
+        which the remote-compile proxy rejects past ~0.5 GB (32768^2 W4)."""
+        @jax.jit
+        def loop(x, tensors, n):
+            def body(i, xx):
+                y = forward_functional(xx, None, list(tensors), meta)
+                return x + (y * jnp.asarray(1e-30, y.dtype)).astype(x.dtype)
+            return jnp.sum(lax.fori_loop(0, n, body, x).astype(jnp.float32))
+
+        tensors = tuple(t for t in tensors)
+        float(loop(x, tensors, n2))  # compile + warm
+        best = {}
+        for n in (n1, n2) * repeats:
+            t0 = _time.perf_counter()
+            float(loop(x, tensors, n))
+            best[n] = min(best.get(n, 1e9), _time.perf_counter() - t0)
+        return (best[n2] - best[n1]) / (n2 - n1)
+
     def bench_point(label, layer, M, n1=None):
         meta = layer.meta
         N, K = meta.out_features, meta.in_features
@@ -112,15 +135,15 @@ def main():
             x = jnp.asarray(rng.normal(size=(M, K)) * 0.3, jnp.bfloat16)
         else:
             x = jnp.asarray(rng.normal(size=(M, K)) * 0.1, jnp.bfloat16)
-        fn = lambda xx: forward_functional(xx, None, layer.get_tensor_args(),
-                                           meta)
-        fn(x)  # compile
         if n1 is None:
             n1 = 200 if (M <= 64 and K <= 8192) else \
                 (50 if K <= 16384 and M <= 1024 else 15)
         if args.quick:
             n1 = max(n1 // 4, 5)
-        dt = timed_slope(fn, x, n1, 4 * n1, repeats=4)
+        tensors = [t for t in layer.get_tensor_args()]
+        # forward_functional wants [W_q, scales, zeros]; None entries are
+        # static — bake them by substituting empty markers kept as None
+        dt = timed_slope_args(meta, x, tensors, n1, 4 * n1, repeats=4)
         meta_b = (np.asarray(layer.scales).nbytes if layer.scales is not None else 0) \
             + (np.asarray(layer.zeros).nbytes if layer.zeros is not None
                and hasattr(layer.zeros, "nbytes") else 0)

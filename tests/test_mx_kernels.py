@@ -97,7 +97,9 @@ class TestE5M2Weights:
         from gemlite_tpu.dtypes import DType
         assert layer.meta.w_code_dtype == DType.FP8e5.value
         e4, _ = _layer(A16W8_MXFP())
-        assert e4.meta.w_code_dtype == 0
+        # e4m3 flavor is explicitly recorded since round 3 (0 only in
+        # pre-existing checkpoints, still accepted by fp8_coded())
+        assert e4.meta.w_code_dtype == DType.FP8e4.value
 
     @pytest.mark.parametrize("M", [1, 100])
     def test_kernels_match_dense_e5m2(self, M):
