@@ -32,6 +32,7 @@ __all__ = [
     "unpack_over_cols",
     "unpack_over_rows",
     "fold_codes_for_planes",
+    "fold_plane_count",
     "unfold_codes_for_planes",
 ]
 
@@ -127,10 +128,22 @@ def unpack_over_rows(W_q_packed, W_nbits: int, num_output_rows: int, dtype=jnp.u
 #   so   codes_folded[g*F + r*P + j] = codes_natural[g*F + j*t + r].
 
 
+def fold_plane_count(W_nbits: int, w_layout: int) -> int:
+    """Planes-per-word count the ``w_layout`` fold was built with.
+
+    w_layout=2 (integer W8): 4 full-lane BYTE planes — the kernels decode
+    bytes with the f32 exponent trick, one plane per byte of the int32 word.
+    w_layout=1: halfword planes — P = 16 // W_nbits for sub-byte codes, 2 for
+    fp8 bit codes (each halfword holds two byte codes)."""
+    if w_layout == 2:
+        return 4
+    return 2 if W_nbits == 8 else 16 // W_nbits
+
+
 def fold_codes_for_planes(codes, n_planes: int, fold_gs: int):
     """Permute (N, K) codes along K so the plane kernels contract in natural
-    k order (w_layout=1). ``n_planes`` = 16 // W_nbits for sub-byte codes,
-    2 for byte codes (fp8/W8)."""
+    k order (w_layout=1/2). ``n_planes`` = 16 // W_nbits for sub-byte codes,
+    2 for fp8 byte codes (halfword planes), 4 for integer W8 (byte planes)."""
     xp = np if isinstance(codes, np.ndarray) else jnp
     n, k = codes.shape
     t = fold_gs // n_planes

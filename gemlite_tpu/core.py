@@ -436,14 +436,25 @@ class GemLiteLinear:
         self.w_layout = 0
         fold_gs = self._plane_fold_unit(packing_bitwidth)
         if fold_gs is not None and codes_2d is not None:
-            from .bitpack import fold_codes_for_planes
-            n_planes = 2 if self.W_nbits == 8 else 16 // self.W_nbits
+            from .bitpack import fold_codes_for_planes, fold_plane_count
+            layout = 2 if self._w8_byte_planes() else 1
+            n_planes = fold_plane_count(self.W_nbits, layout)
             self.W_q, _ = pack_weights_over_cols(
                 fold_codes_for_planes(codes_2d, n_planes, fold_gs),
                 self.W_nbits, packing_bitwidth, transpose=True)
-            self.w_layout = 1
+            self.w_layout = layout
 
         return self
+
+    def _w8_byte_planes(self) -> bool:
+        """Integer-coded W8 layers fold on BYTE planes (w_layout=2): the
+        decode/prefill kernels build 4 full-lane byte planes via the f32
+        exponent trick (|0x4B000000 bitcast, -2^23) — measured 42.8 -> 26.8us
+        at 4096^2 gs=K M=1 on v5e vs the bf16 nibble-pair build
+        (scripts/probe_w8.py). fp8 bit codes and MX layers keep halfword
+        planes (w_layout=1)."""
+        return (self.W_nbits == 8 and not getattr(self, "w_code_dtype", 0)
+                and not is_mx_dtype(self.input_dtype))
 
     def _plane_fold_unit(self, packing_bitwidth: int):
         """Fold unit F for w_layout=1, or None when the plane kernels cannot
@@ -476,7 +487,9 @@ class GemLiteLinear:
                 return None  # fold unit must not exceed the kernel k-block
         else:
             F = 512  # channel-wise: fixed fold unit (= kernel group unit)
-        n_planes = 2 if self.W_nbits == 8 else 16 // self.W_nbits
+        from .bitpack import fold_plane_count
+        n_planes = fold_plane_count(
+            self.W_nbits, 2 if self._w8_byte_planes() else 1)
         if K % F or F % n_planes or (F // n_planes) % 8:
             return None
         if N % 128 or K % 128:
@@ -489,10 +502,10 @@ class GemLiteLinear:
         checkpoints or driving the general kernel directly."""
         if not getattr(self, "w_layout", 0):
             return self
-        from .bitpack import (fold_codes_for_planes, unfold_codes_for_planes,
-                              unpack_over_rows)
+        from .bitpack import (fold_codes_for_planes, fold_plane_count,
+                              unfold_codes_for_planes, unpack_over_rows)
         K = self.in_features
-        n_planes = 2 if self.W_nbits == 8 else 16 // self.W_nbits
+        n_planes = fold_plane_count(self.W_nbits, self.w_layout)
         fold_gs = self._plane_fold_unit(self.packing_bitwidth or 32)
         if fold_gs is None and self.channel_scale_mode == 4:
             # csm 4 is set POST-pack by the dynamic-MX processors
@@ -609,6 +622,21 @@ class GemLiteLinear:
         # absent in reference-produced state dicts -> reference layout (0)
         self.w_layout = int(np.asarray(sd["w_layout"])) if "w_layout" in sd else 0
         self.packing_bitwidth = 32
+        if self.w_layout == 1 and self._w8_byte_planes():
+            # pre-byte-plane checkpoint: integer W8 folded on halfword planes
+            # (P=2); migrate once to the byte-plane fold (w_layout=2, P=4)
+            # the current kernels read
+            from .bitpack import (fold_codes_for_planes,
+                                  unfold_codes_for_planes, unpack_over_rows)
+            F = self._plane_fold_unit(32)
+            if F is not None:
+                codes = unpack_over_rows(
+                    self.W_q, self.W_nbits, self.in_features).T
+                codes = unfold_codes_for_planes(codes, 2, F)
+                self.W_q, _ = pack_weights_over_cols(
+                    fold_codes_for_planes(codes, 4, F), self.W_nbits, 32,
+                    transpose=True)
+                self.w_layout = 2
         if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4) \
            and self.scales is not None and self.scales.dtype != jnp.uint8:
             self.scales = jax.lax.bitcast_convert_type(self.scales, jnp.uint8)

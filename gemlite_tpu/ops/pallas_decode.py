@@ -44,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..dtypes import DType, to_jax_dtype
+from ..dtypes import DType, is_mx_dtype, to_jax_dtype
 from ..config import KernelConfig
 
 __all__ = ["pallas_decode_matmul", "can_use_decode_kernel",
@@ -141,24 +141,22 @@ def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
     return planes
 
 
-def _w8_planes(w, c, t_rows, bn):
-    """Packed-W8 byte planes as TRUE code values (0..255) in bf16, built from
-    two nibble half-planes per byte: v = (hi_p * 16 - 2176) + lo_p where
-    hi_p/lo_p = 128 + nibble via the 0x4300 magic bitcast. Every intermediate
-    is bf16-exact in this order (2048+16h is a multiple of 16 at 2^11;
-    16h - 128 and 16h + lo are < 256). Replaces the fp16 1024-magic byte
-    bitcast: Mosaic cannot lower int32->f16 vreg casts AT ALL ("Invalid
-    vector register cast"), so the fp16 route never worked on real TPUs.
-    Plane j covers bytes {j, j+2} of each word — the same row mapping as the
-    old halfword byte extraction, so fold units and stacking are unchanged.
+def _w8_planes(w, c, t_rows, bn, as_f32):
+    """Packed-W8 BYTE planes as TRUE code values (0..255), 4 full-lane planes
+    via the f32 exponent trick: f32_bits = 0x4B000000 | byte -> 2^23 + byte,
+    minus 2^23 — exact (byte < 2^23 mantissa). Plane j = byte j of each int32
+    word, so the fold order is P=4 (w_layout=2 / permute_x P=4). Replaces the
+    bf16 nibble-pair build: measured 42.8 -> 26.8us at 4096^2 gs=K M=1 on
+    v5e (scripts/probe_w8.py; streaming floor 25.3us). ``as_f32`` keeps f32
+    planes for an f32 raw dot (fastest at tiny M); otherwise the planes
+    convert to bf16 (codes <= 255 are bf16-exact: 8-bit significand).
     The returned planes carry NO offset (the raw-dot correction uses 0)."""
     planes = []
-    for j in range(2):
-        lo = pltpu.bitcast(((w >> (8 * j)) & 0x000F000F) | MAGIC16,
-                           jnp.bfloat16)
-        hi = pltpu.bitcast(((w >> (8 * j + 4)) & 0x000F000F) | MAGIC16,
-                           jnp.bfloat16)
-        v = (hi * jnp.bfloat16(16.0) - jnp.bfloat16(2176.0)) + lo
+    for j in range(4):
+        v = pltpu.bitcast(((w >> (8 * j)) & 0xFF) | 0x4B000000,
+                          jnp.float32) - 16777216.0
+        if not as_f32:
+            v = v.astype(jnp.bfloat16)
         planes.append(v.reshape(c, t_rows, bn))
     return planes
 
@@ -184,14 +182,17 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     """gs here is the effective group size clamped to [n_planes, bk];
     real_gs is the layer's group size (used to index the meta strips when a
     k-step covers only part of one group, i.e. bk < real_gs)."""
-    n_planes = 16 // W_nbits
+    # sub-byte codes fit bf16's 7-bit mantissa (v = 128 + code exact);
+    # integer 8-bit codes use 4 full-lane BYTE planes via the f32 exponent
+    # trick (offset-free TRUE codes — see _w8_planes)
+    w8_codes = w_codec is None and W_nbits == 8
+    n_planes = 4 if w8_codes else 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     c = bk // gs            # groups per k-step (>= 1)
-    t_rows = gs // n_planes  # bf16 plane rows per group
-    # sub-byte codes fit bf16's 7-bit mantissa (v = 128 + code exact);
-    # 8-bit codes are built from two bf16 nibble planes (offset-free TRUE
-    # codes — see _w8_planes; int32->f16 bitcasts don't lower on Mosaic)
-    w8_codes = w_codec is None and W_nbits == 8
+    t_rows = gs // n_planes  # plane rows per group
+    # f32 planes + f32 raw dot win at tiny M (probe: 26.8 vs 28.4us); the
+    # f32 MXU rate (~1/8 bf16) makes bf16 planes the right call for bm > 8
+    w8_f32 = w8_codes and bm <= 8
     plane_magic, plane_dtype = MAGIC16, jnp.bfloat16
     offset = 0.0 if w8_codes else OFFSET
 
@@ -226,7 +227,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         elif w_codec == "fp4":
             planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
         elif w8_codes:
-            planes = _w8_planes(w, c, t_rows, bn)             # TRUE codes
+            planes = _w8_planes(w, c, t_rows, bn, w8_f32)     # TRUE codes
         else:
             # integer codes + offset, 3 VPU ops/word
             planes = [
@@ -256,6 +257,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             xg = jnp.swapaxes(x_ref[...], 0, 1)    # (bm, c, gs) -> (c, bm, gs)
         else:
             xg = x_ref[...]                        # (c, bm, gs)
+        if w8_f32:
+            xg = xg.astype(jnp.float32)            # f32 raw dot (tiny M)
         raw = jax.lax.dot_general(
             xg, bg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (c, bm, bn)
@@ -331,15 +334,16 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     return kernel
 
 
-def permute_x_for_planes(x, W_nbits: int, gs_eff: int):
+def permute_x_for_planes(x, W_nbits: int, gs_eff: int, P: int = 0):
     """Reorder K so in-kernel plane stacking matches contraction order.
 
     Within each effective group: x[:, g*gs + j*t + m] <- x[:, g*gs + P*m + j]
-    where P = 16/W_nbits planes and t = gs/P rows per plane. Runs in XLA
-    outside the kernel — negligible for decode-sized M.
+    where P = 16/W_nbits halfword planes (pass P=4 for integer W8 byte
+    planes) and t = gs/P rows per plane. Runs in XLA outside the kernel —
+    negligible for decode-sized M.
     """
     M, K = x.shape
-    P = 16 // W_nbits
+    P = P or 16 // W_nbits
     t = gs_eff // P
     G = K // gs_eff
     return x.reshape(M, G, t, P).swapaxes(2, 3).reshape(M, K)
@@ -410,7 +414,7 @@ def can_use_decode_kernel(meta, M, N, K, cfg: KernelConfig) -> bool:
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     if not bn or not bk or N % bn or K % bk or bk % 128:
         return False
-    n_planes = 16 // meta.W_nbits
+    n_planes = 4 if w8_codes else 16 // meta.W_nbits
     gs = _effective_gs(meta, K, bk)
     if bk % gs or gs % n_planes:
         return False
@@ -452,6 +456,12 @@ def select_decode_config(meta, M, N, K) -> KernelConfig:
     while bm < min(M, 64):
         bm *= 2
     folded = bool(getattr(meta, "w_layout", 0))
+    # integer W8 stacks f32 byte planes at tiny M: 4 B/value in the plane
+    # buffer (probe-validated at bk=4096 x bn=1024 = 16 MB on v5e)
+    w8 = (meta.W_nbits == 8 and not fp8_coded(meta)
+          and not is_mx_dtype(DType(meta.input_dtype)))
+    plane_bytes, plane_budget = (4, 16 * 1024 * 1024) if w8 and bm <= 8 \
+        else (2, 12 * 1024 * 1024)
     bn_order = (2048, 1024, 4096, 512, 256, 128)
     bk_order = (1024, 2048, 512, 4096, 256, 128)
 
@@ -468,7 +478,7 @@ def select_decode_config(meta, M, N, K) -> KernelConfig:
                 c_blk = cand // gse
                 if c_blk % 8 and c_blk != K // gse:
                     continue
-            if folded and bn and cand * bn * 2 > 12 * 1024 * 1024:
+            if folded and bn and cand * bn * plane_bytes > plane_budget:
                 continue  # bound the stacked-plane VMEM buffer
             return cand
         return 0
@@ -509,14 +519,16 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     n_k = K // bk
     out_jdtype = to_jax_dtype(meta.output_dtype)
 
-    from ..dtypes import is_mx_dtype
     mx_fp8w = fp8_coded(meta)
     folded = bool(getattr(meta, "w_layout", 0))
-    # W8 integer codes use the fp16 exponent trick for the PLANES; x stays
-    # bf16 (fp16 x would overflow for |x| > 65504) and the dot runs in f32
+    # integer W8 uses byte planes (P=4, f32 exponent trick — _w8_planes);
+    # everything else contracts halfword planes built by bf16 magic bitcast
+    w8_int = (meta.W_nbits == 8 and not mx_fp8w
+              and not is_mx_dtype(DType(meta.input_dtype)))
     xq = x.astype(jnp.bfloat16)
     if not folded:
-        xq = permute_x_for_planes(xq, meta.W_nbits, gs)
+        xq = permute_x_for_planes(xq, meta.W_nbits, gs,
+                                  P=4 if w8_int else 0)
     if folded and M == 1:
         bm = Mp = 1  # no M padding: the M=1 hot path is ZERO XLA-side ops
     else:

@@ -43,8 +43,16 @@ from .pallas_decode import (
     _effective_gs,
     _interpret_mode,
     _cdiv,
+    fp8_coded,
     permute_x_for_planes,
 )
+
+
+def _w8_int(meta) -> bool:
+    """Integer-coded W8 (byte planes, P=4 fold — see pallas_decode)."""
+    from ..dtypes import is_mx_dtype
+    return (meta.W_nbits == 8 and not fp8_coded(meta)
+            and not is_mx_dtype(DType(meta.input_dtype)))
 
 __all__ = ["pallas_prefill_matmul", "can_use_prefill_kernel",
            "select_prefill_config", "pallas_dequantize", "can_use_dequantize"]
@@ -56,7 +64,10 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  w_codec=None, scale_codec=None, pair_fused=False,
                  folded=False, odd_lo=False, build_only=False, csm_weight=0,
                  mx_ags=0, build_bf16=False, n_sub=1):
-    n_planes = 16 // W_nbits
+    # 8-bit integer codes: 4 full-lane BYTE planes via the f32 exponent
+    # trick (offset-free TRUE codes, _w8_planes; w_layout=2 fold)
+    w8_codes = w_codec is None and W_nbits == 8
+    n_planes = 4 if w8_codes else 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
     # (t_rows = 8, sublane-aligned) while scales stay per real 16-group; the
@@ -64,9 +75,6 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     # merge. gs arrives as 32 in this mode; the scale row count is bk // 16.
     c = bk // gs
     t_rows = gs // n_planes
-    # 8-bit codes: two bf16 nibble planes per byte (offset-free TRUE codes,
-    # _w8_planes) — Mosaic cannot lower the old int32->f16 1024-magic bitcast
-    w8_codes = w_codec is None and W_nbits == 8
     plane_magic, plane_dtype = MAGIC16, jnp.bfloat16
     offset = 0.0 if w8_codes else OFFSET
 
@@ -166,7 +174,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
             elif w8_codes:
                 from .pallas_decode import _w8_planes
-                planes = _w8_planes(w, c, t_rows, bn_)             # TRUE codes
+                planes = _w8_planes(w, c, t_rows, bn_, False)      # TRUE codes
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)
             else:
                 planes = [
@@ -464,7 +472,7 @@ def can_use_prefill_kernel(meta, M, N, K, cfg: KernelConfig,
     # is permuted outside the kernel; only the plane-stack sublane alignment
     # (t_rows % 8) applies. NVFP4 (gs=16, t_rows=4) is handled by the
     # pair-fused build: planes built on 32-blocks, scales applied per 16.
-    n_planes = 16 // meta.W_nbits
+    n_planes = 4 if _w8_int(meta) else 16 // meta.W_nbits
     gs = _effective_gs(meta, K, bk)
     pair_fused = _is_pair_fused(meta, K, bk)
     if pair_fused:
@@ -567,9 +575,10 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         xq = x.astype(jnp.bfloat16)
         if not getattr(meta, "w_layout", 0):
             # reference layout: the dequant cache rows are in plane-stack
-            # order, matched by permuting x; folded layers (w_layout=1) are
-            # already in natural k order so x ships as-is
-            xq = permute_x_for_planes(xq, meta.W_nbits, gs)
+            # order, matched by permuting x; folded layers (w_layout=1/2)
+            # are already in natural k order so x ships as-is
+            xq = permute_x_for_planes(xq, meta.W_nbits, gs,
+                                      P=4 if _w8_int(meta) else 0)
         if Mp != M:
             xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
             if scales_x is not None and meta.channel_scale_mode in (2, 3):

@@ -49,7 +49,8 @@ def unpack_rows_ref(W_q_packed, W_nbits: int, elements_per_sample: int, out_rows
         return W_q_packed
     b = unpack_over_rows(W_q_packed, W_nbits, out_rows)
     if w_layout:
-        n_planes = 2 if W_nbits == 8 else 16 // W_nbits
+        from ..bitpack import fold_plane_count
+        n_planes = fold_plane_count(W_nbits, w_layout)
         F = plane_fold_unit(W_nbits, group_size, out_rows, input_dtype)
         b = unfold_rows_for_planes(b, n_planes, F)
     return b

@@ -46,10 +46,14 @@ def _mk(W_nbits, gs, N=256, K=512):
                                         (1, 128), (4, 512)])
 def test_pack_folds_and_reference_layout_roundtrip(W_nbits, gs):
     layer, codes = _mk(W_nbits, gs)
-    assert layer.w_layout == 1
-    assert layer.meta.w_layout == 1
+    # integer W8 folds on byte planes (w_layout=2, P=4); sub-byte on
+    # halfword planes (w_layout=1)
+    expect_layout = 2 if W_nbits == 8 else 1
+    assert layer.w_layout == expect_layout
+    assert layer.meta.w_layout == expect_layout
     # folded packing holds PERMUTED codes...
-    n_planes = 2 if W_nbits == 8 else 16 // W_nbits
+    from gemlite_tpu.bitpack import fold_plane_count
+    n_planes = fold_plane_count(W_nbits, expect_layout)
     packed_codes = unpack_over_rows(layer.W_q, W_nbits, layer.in_features).T
     np.testing.assert_array_equal(
         np.asarray(packed_codes),
@@ -69,7 +73,7 @@ def test_pack_folds_and_reference_layout_roundtrip(W_nbits, gs):
 @pytest.mark.parametrize("M", [1, 8, 128])
 def test_folded_forward_matches_reference_layout(W_nbits, gs, M):
     layer, codes = _mk(W_nbits, gs)
-    assert layer.w_layout == 1
+    assert layer.w_layout == (2 if W_nbits == 8 else 1)
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.normal(size=(M, layer.in_features)) * 0.2, jnp.bfloat16)
     y_folded = layer(x)
