@@ -154,7 +154,7 @@ def _w8_planes(w, c, t_rows, bn, as_f32):
     planes = []
     for j in range(4):
         v = pltpu.bitcast(((w >> (8 * j)) & 0xFF) | 0x4B000000,
-                          jnp.float32) - 16777216.0
+                          jnp.float32) - 8388608.0
         if not as_f32:
             v = v.astype(jnp.bfloat16)
         planes.append(v.reshape(c, t_rows, bn))
