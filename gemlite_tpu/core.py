@@ -78,6 +78,17 @@ def set_acc_dtype(dtype):
     GEMLITE_ACC_DTYPE[DType.FP16] = dtype
 
 
+def _fp8_codes_subnormal_free(codes_or_packed, e5m2: bool) -> bool:
+    """True when no stored fp8 bit code is subnormal (E=0, M!=0). Works on
+    the uint8 code matrix or on the packed int32 words (folding/packing only
+    permutes code positions, never changes the byte set)."""
+    b = np.asarray(codes_or_packed)
+    if b.dtype != np.uint8:
+        b = b.view(np.uint8)
+    exp_m, man_m = (0x7C, 0x03) if e5m2 else (0x78, 0x07)
+    return not bool((((b & exp_m) == 0) & ((b & man_m) != 0)).any())
+
+
 def get_default_gemv(W_nbits: int, mx_dtype: bool = False) -> str:
     """M==1 kernel choice (reference core.py:100-105)."""
     if mx_dtype:
@@ -126,6 +137,19 @@ class LayerMeta(NamedTuple):
     # pack time so the Pallas plane kernels contract in natural k order and x
     # needs NO per-call permutation; see bitpack.fold_codes_for_planes)
     w_layout: int = 0
+    # 1 when a pack-time scan proved the stored fp8 bit codes contain NO
+    # subnormals (E=0, M!=0): the plane kernels then use the 5-op normals-only
+    # bit remap (exact on every stored code) instead of the renormalization
+    # cascade — measured 2.6x faster at the A8W8-FP8 decode headline
+    # (scripts/probe_fp8_trick.py / probe_fp8_rescue.py: the MXU and VPU both
+    # flush bf16-subnormal INPUTS, so no in-register rescue exists)
+    fp8_nosub: int = 0
+    # 1 when a pack-time scan proved every e8m0 block-scale exponent of an
+    # MXFP4 layer sits in a range where (fp4_value * 2^(E-127)) is an exact
+    # bf16 NORMAL: the decode kernel then folds the block scale into the
+    # planes with one broadcast multiply and contracts ONE flat (bm,bk)x
+    # (bk,bn) MXU dot instead of bk/32 batched 32-deep group dots
+    mx_flat: int = 0
 
     @property
     def meta_args(self):
@@ -254,6 +278,8 @@ class GemLiteLinear:
         self.packing_bitwidth = None
         self.w_code_dtype = 0
         self.w_layout = 0
+        self.fp8_nosub = 0
+        self.mx_flat = 0
 
     # ------------------------------------------------------------------
     # pack(): offline weight preparation + dequant-mode decision tree.
@@ -311,6 +337,8 @@ class GemLiteLinear:
                                  else DType.FP8e4.value)
             W_q = jax.lax.bitcast_convert_type(W_q, jnp.uint8)
             packing_bitwidth = 32
+            self.fp8_nosub = int(_fp8_codes_subnormal_free(
+                W_q, e5m2=(self.w_code_dtype == DType.FP8e5.value)))
         codes_2d = None
         if W_q.dtype == jnp.uint8:
             # packed low-bit path: (N, K) uint8 -> (K // elems, N) ints
@@ -424,6 +452,17 @@ class GemLiteLinear:
             # tl.dot_scaled (core.py:495); our kernels define the layout.
             self.W_group_mode = 2
             self.channel_scale_mode = 0
+        # MXFP4 flat-dot eligibility: every e8m0 exponent must keep
+        # fp4_value * 2^(E-127) an exact NORMAL bf16 (fp4 min-normal-exp -1
+        # and max 6 = 2^2.58: E in [16, 235] leaves > 100 octaves of slack
+        # on either side of bf16's [-126, 127] range)
+        self.mx_flat = 0
+        if (is_mx_dtype(self.input_dtype) and self.W_nbits == 4
+                and self.scales is not None
+                and self.scales.dtype == jnp.uint8):
+            e = np.asarray(self.scales)
+            if e.size and 16 <= int(e.min()) and int(e.max()) <= 235:
+                self.mx_flat = 1
 
         if self.scales is not None:
             self.meta_dtype = JAX_TO_DTYPE[jnp.dtype(self.scales.dtype)] \
@@ -558,6 +597,8 @@ class GemLiteLinear:
             packing_bitwidth=self.packing_bitwidth or 32,
             w_code_dtype=getattr(self, "w_code_dtype", 0),
             w_layout=getattr(self, "w_layout", 0),
+            fp8_nosub=getattr(self, "fp8_nosub", 0),
+            mx_flat=getattr(self, "mx_flat", 0),
         )
 
     def forward_manual(self, x, matmul_type: str = "GEMM"):
@@ -591,6 +632,10 @@ class GemLiteLinear:
             sd["w_code_dtype"] = np.asarray(self.w_code_dtype, dtype=np.int32)
         if getattr(self, "w_layout", 0):
             sd["w_layout"] = np.asarray(self.w_layout, dtype=np.int32)
+        if getattr(self, "fp8_nosub", 0):
+            sd["fp8_nosub"] = np.asarray(self.fp8_nosub, dtype=np.int32)
+        if getattr(self, "mx_flat", 0):
+            sd["mx_flat"] = np.asarray(self.mx_flat, dtype=np.int32)
         return sd
 
     def load_state_dict(self, state_dict):
@@ -621,6 +666,16 @@ class GemLiteLinear:
         self.w_code_dtype = int(np.asarray(sd["w_code_dtype"])) if "w_code_dtype" in sd else 0
         # absent in reference-produced state dicts -> reference layout (0)
         self.w_layout = int(np.asarray(sd["w_layout"])) if "w_layout" in sd else 0
+        if "fp8_nosub" in sd:
+            self.fp8_nosub = int(np.asarray(sd["fp8_nosub"]))
+        elif self.w_code_dtype:
+            # older fp8 checkpoint without the flag: re-scan the packed bytes
+            # (plane folding only permutes code positions, so the byte view of
+            # the packed words is exactly the stored code set)
+            self.fp8_nosub = int(_fp8_codes_subnormal_free(
+                self.W_q, e5m2=(self.w_code_dtype == DType.FP8e5.value)))
+        else:
+            self.fp8_nosub = 0
         self.packing_bitwidth = 32
         if self.w_layout == 1 and self._w8_byte_planes():
             # pre-byte-plane checkpoint: integer W8 folded on halfword planes
@@ -640,6 +695,17 @@ class GemLiteLinear:
         if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4) \
            and self.scales is not None and self.scales.dtype != jnp.uint8:
             self.scales = jax.lax.bitcast_convert_type(self.scales, jnp.uint8)
+        if "mx_flat" in sd:
+            self.mx_flat = int(np.asarray(sd["mx_flat"]))
+        else:
+            # older MXFP4 checkpoint without the flag: re-scan the e8m0 range
+            self.mx_flat = 0
+            if (is_mx_dtype(self.input_dtype) and self.W_nbits == 4
+                    and self.scales is not None
+                    and self.scales.dtype == jnp.uint8):
+                e = np.asarray(self.scales)
+                if e.size and 16 <= int(e.min()) and int(e.max()) <= 235:
+                    self.mx_flat = 1
         return self
 
     def save(self, path: str):
@@ -704,6 +770,8 @@ class GemLiteLinear:
         layer.packing_bitwidth = meta.packing_bitwidth
         layer.w_code_dtype = meta.w_code_dtype
         layer.w_layout = meta.w_layout
+        layer.fp8_nosub = meta.fp8_nosub
+        layer.mx_flat = meta.mx_flat
         layer.compute_dtype = to_jax_dtype(layer.input_dtype)
         layer.signature = (layer.in_features, layer.out_features, layer.W_nbits, layer.group_size)
         return layer

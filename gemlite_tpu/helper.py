@@ -91,7 +91,31 @@ def cleanup_linear(linear_layer, del_orig: bool = True):
     gc.collect()
 
 
-def _channelwise_quant_8bit(weight_f32: np.ndarray, fp8: Optional[object]):
+def _flush_fp8_subnormal_codes(W_q):
+    """Round fp8 subnormal codes to the nearest of {0, +-min_normal} so the
+    stored code set is subnormal-free and pack() selects the 5-op fast plane
+    decode (core.LayerMeta.fp8_nosub; the TPU MXU/VPU flush bf16-subnormal
+    inputs, so exact subnormal decode needs a ~25-op renorm cascade).
+    Max added error: half a min-normal per affected weight (2^-7 * scale for
+    e4m3) — beneath the e4m3 quantization step everywhere else. Pass
+    ``flush_subnormals=False`` to the processor to keep reference-identical
+    codes (exact decode either way; only speed differs)."""
+    np_dt = np.asarray(jnp.zeros((), W_q.dtype)).dtype
+    bits = np.asarray(W_q).view(np.uint8)
+    e5m2 = W_q.dtype == jnp.float8_e5m2
+    exp_m, man_m, half = (0x7C, 0x03, 2) if e5m2 else (0x78, 0x07, 4)
+    sub = ((bits & exp_m) == 0) & ((bits & man_m) != 0)
+    if not sub.any():
+        return W_q
+    snapped = np.where((bits & man_m) > half,
+                       (bits & 0x80) | (man_m + 1),   # +-min normal
+                       bits & 0x80)                   # +-0
+    bits = np.where(sub, snapped, bits).astype(np.uint8)
+    return jnp.asarray(bits.view(np_dt))
+
+
+def _channelwise_quant_8bit(weight_f32: np.ndarray, fp8: Optional[object],
+                            flush_subnormals: bool = True):
     """Symmetric per-output-channel 8-bit quantization (absmax / qmax)."""
     if fp8 is not None:
         info = jnp.finfo(fp8)
@@ -103,6 +127,8 @@ def _channelwise_quant_8bit(weight_f32: np.ndarray, fp8: Optional[object]):
     W_q = np.clip(weight_f32 / scales, min_val, max_val)
     if fp8 is not None:
         W_q = jnp.asarray(W_q, dtype=fp8)
+        if flush_subnormals:
+            W_q = _flush_fp8_subnormal_codes(W_q)
     else:
         W_q = jnp.asarray(np.round(W_q), dtype=jnp.int8)
     return W_q, scales.astype(np.float32)
@@ -112,12 +138,14 @@ def _channelwise_quant_8bit(weight_f32: np.ndarray, fp8: Optional[object]):
 # 16-bit activations x 8-bit weights, channel-wise (reference helper.py:88-170)
 # ---------------------------------------------------------------------------
 class A16W8:
-    def __init__(self, device=None, dtype=None, fp8=None, fp32_scale=True, post_scale=False):
+    def __init__(self, device=None, dtype=None, fp8=None, fp32_scale=True, post_scale=False,
+                 flush_subnormals=True):
         self.device = device  # API parity; placement is sharding-driven in JAX
         self.dtype = dtype
         self.fp8 = fp8
         self.fp32_scale = fp32_scale
         self.post_scale = post_scale
+        self.flush_subnormals = flush_subnormals
 
     def from_weights(self, weight, bias=None, scales=None):
         weight = _to_np(weight)
@@ -125,7 +153,9 @@ class A16W8:
 
         if scales is None:
             dtype = _float_dtype_of(weight, self.dtype)
-            W_q, scales = _channelwise_quant_8bit(weight.astype(np.float32), self.fp8)
+            W_q, scales = _channelwise_quant_8bit(
+                weight.astype(np.float32), self.fp8,
+                flush_subnormals=self.flush_subnormals)
         else:
             assert np.asarray(_to_np(weight)).itemsize == 1, \
                 "pre-quantized weight must be 8-bit"
@@ -163,8 +193,10 @@ class A16W8_INT8(A16W8):
 
 
 class A16W8_FP8(A16W8):
-    def __init__(self, device=None, dtype=None, fp8=DEFAULT_FP8, fp32_scale=True, post_scale=False):
-        super().__init__(device, dtype, fp8=fp8, fp32_scale=fp32_scale, post_scale=post_scale)
+    def __init__(self, device=None, dtype=None, fp8=DEFAULT_FP8, fp32_scale=True,
+                 post_scale=False, flush_subnormals=True):
+        super().__init__(device, dtype, fp8=fp8, fp32_scale=fp32_scale,
+                         post_scale=post_scale, flush_subnormals=flush_subnormals)
 
 
 # ---------------------------------------------------------------------------
@@ -272,11 +304,13 @@ class A16W1_HQQ_INT(A16Wn_HQQ_INT):
 # dynamic 8-bit activations x 8-bit weights (reference helper.py:405-497)
 # ---------------------------------------------------------------------------
 class A8W8_dynamic:
-    def __init__(self, device=None, dtype=None, fp8=None, fp32_scale=True):
+    def __init__(self, device=None, dtype=None, fp8=None, fp32_scale=True,
+                 flush_subnormals=True):
         self.device = device
         self.dtype = dtype
         self.fp8 = fp8
         self.fp32_scale = fp32_scale
+        self.flush_subnormals = flush_subnormals
 
     def from_weights(self, weight, bias=None, scales=None):
         weight = _to_np(weight)
@@ -285,7 +319,9 @@ class A8W8_dynamic:
 
         if scales is None:
             dtype = _float_dtype_of(weight, self.dtype)
-            W_q, scales = _channelwise_quant_8bit(weight.astype(np.float32), self.fp8)
+            W_q, scales = _channelwise_quant_8bit(
+                weight.astype(np.float32), self.fp8,
+                flush_subnormals=self.flush_subnormals)
         else:
             assert np.asarray(weight).itemsize == 1, "pre-quantized weight must be 8-bit"
             dtype = _float_dtype_of(scales, self.dtype)
@@ -321,8 +357,10 @@ A8W8_int8_dynamic = A8W8_INT8_dynamic
 
 
 class A8W8_FP8_dynamic(A8W8_dynamic):
-    def __init__(self, device=None, dtype=None, fp8=DEFAULT_FP8):
-        super().__init__(device, dtype, fp8=fp8)
+    def __init__(self, device=None, dtype=None, fp8=DEFAULT_FP8,
+                 flush_subnormals=True):
+        super().__init__(device, dtype, fp8=fp8,
+                         flush_subnormals=flush_subnormals)
 
 
 A8W8_fp8_dynamic = A8W8_FP8_dynamic

@@ -34,6 +34,22 @@ from .pallas_int8 import (
 )
 
 
+# Trace-time log of the kernel that actually served each dispatch (appended
+# on every non-jitted call / once per jit trace). Enables TPUCHECK and the
+# dispatch-coverage test to pin the REAL routing instead of a predictive
+# mirror that can drift from the code it mirrors.
+KERNEL_TRACE: list = []
+
+
+def _note(name: str) -> None:
+    if len(KERNEL_TRACE) < 4096:  # bounded; callers clear() around use
+        KERNEL_TRACE.append(name)
+
+
+def last_kernel() -> str:
+    return KERNEL_TRACE[-1] if KERNEL_TRACE else ""
+
+
 def _ref_kernel(x, W_q, scales, zeros, scales_x, meta: LayerMeta):
     from ..dtypes import is_mx_dtype, to_jax_dtype
     if is_mx_dtype(meta.input_dtype):
@@ -133,6 +149,7 @@ def _make_family_kernel(family: str):
                     from ..quant import scale_activations_mx_transposed
                     x_mx = scale_activations_mx_transposed(
                         x, DType(meta.input_dtype))
+                    _note("prefill_mx_csm4")
                     return pallas_prefill_matmul(None, W_q, scales, zeros,
                                                  None, meta, pcfg, x_mx=x_mx)
             # exact fallback: bf16 fake-quant outside the kernel (bit-
@@ -153,10 +170,12 @@ def _make_family_kernel(family: str):
                     # out the exact path — retry with the int8 selector
                     icfg = select_int8_decode_config(meta, M, N, K)
                 if can_use_int8_decode(meta, M, N, K, icfg):
+                    _note("int8_exact")
                     return pallas_int8_decode(x, W_q, scales, zeros, scales_x,
                                               meta, icfg)
             dcfg = cfg if cfg is not None else select_decode_config(meta, M, N, K)
             if can_use_decode_kernel(meta, M, N, K, dcfg):
+                _note("decode_plane")
                 return pallas_decode_matmul(x, W_q, scales, zeros, scales_x,
                                             meta, dcfg)
             # NVFP4 (gs=16) has no raw-dot decode form (a 16-group batched
@@ -164,6 +183,7 @@ def _make_family_kernel(family: str):
             # small-M regime via M padding with its pair-fused build
             pcfg = cfg if cfg is not None else select_prefill_config(meta, M, N, K)
             if can_use_prefill_kernel(meta, M, N, K, pcfg):
+                _note("prefill")
                 return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
                                              meta, pcfg)
         elif M >= 4096:
@@ -174,17 +194,21 @@ def _make_family_kernel(family: str):
             # measured faster than the fallback pseudo-candidate.
             if (cfg is not None and not cfg.route
                     and can_use_prefill_kernel(meta, M, N, K, cfg)):
+                _note("prefill")
                 return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
                                              meta, cfg)
+            _note("dense_fallback")
             return _dense_fallback_matmul(x, W_q, scales, zeros, scales_x, meta)
         elif cfg is not None and cfg.route == "fallback":
             # the autotuner measured the two-pass dense route faster than
             # every fused candidate at this signature
+            _note("dense_fallback")
             return _dense_fallback_matmul(x, W_q, scales, zeros, scales_x, meta)
         else:
             # prefill regime: dequant-once cached-block kernel
             pcfg = cfg if cfg is not None else select_prefill_config(meta, M, N, K)
             if can_use_prefill_kernel(meta, M, N, K, pcfg):
+                _note("prefill")
                 return pallas_prefill_matmul(x, W_q, scales, zeros, scales_x,
                                              meta, pcfg)
             # very large M: the full-M accumulator / resident x block exceeds
@@ -194,6 +218,7 @@ def _make_family_kernel(family: str):
                     continue
                 ccfg = cfg if cfg is not None else select_prefill_config(meta, C, N, K)
                 if can_use_prefill_kernel(meta, C, N, K, ccfg):
+                    _note("prefill_chunked")
                     outs = []
                     for i in range(0, M, C):
                         sx_c = None if scales_x is None else scales_x[i:i + C]
@@ -209,7 +234,9 @@ def _make_family_kernel(family: str):
                 bm *= 2
             cfg = KernelConfig(block_m=bm, block_n=base.block_n, block_k=base.block_k)
         if can_use_pallas(meta, M, N, K, cfg):
+            _note("general_fused")
             return pallas_fused_matmul(x, W_q, scales, zeros, scales_x, meta, cfg)
+        _note("oracle")
         return _ref_kernel(x, W_q, scales, zeros, scales_x, meta)
 
     return impl

@@ -89,10 +89,26 @@ def _fp4_planes(w, n_planes, c, t_rows, bn):
     return planes
 
 
-def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
+def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False, nosub: str = ""):
     """fp8 bit patterns (4 per int32 word) -> TRUE bf16 values via bit remap,
     EXACT over the full finite codebook including subnormals (pinned bit-exact
     vs ml_dtypes in tests/test_kernels.py::test_fp8_codec_exhaustive).
+
+    ``nosub`` (meta.fp8_nosub: a pack-time scan proved E=0/M!=0 codes are
+    absent) drops the ~20-op subnormal renormalization cascade — measured
+    2.6x faster at the A8W8-FP8 decode headline (scripts/probe_fp8_trick.py:
+    250 -> 667 GB/s class). Two variants, both exact on every code the layer
+    can contain (zero codes decode exactly; subnormals are excluded by scan):
+
+    - ``"scaled"``: 3 ops/pair, plane = true_value * 2**-(exp_gap) where
+      exp_gap = 120 (e4m3) / 112 (e5m2) — the bf16 exponent field is the fp8
+      exponent field verbatim, so +-0 codes land on bf16 +-0. The caller MUST
+      pre-scale x by 2**(gap/2) and post-scale the accumulator by the other
+      half (keeps every product above the f32 flush threshold; flushed-tail
+      bound < K * 2**-126 * 2**(gap/2), invisible in bf16/f32 outputs).
+    - ``"true"``: 5+3 ops/pair, TRUE values via exponent rebase plus a
+      zero-mask (the rebase alone would decode +-0 as 2**(1-bias)); used by
+      the prefill kernel where the build cost amortizes over all M rows.
 
     Normals: e4m3 bits = ((c&0x7F)<<4) + 0x3C00, e5m2 bits =
     ((c&0x7F)<<5) + 0x3800; sign bit7 -> bit15 either way.
@@ -114,7 +130,22 @@ def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False):
     for j in range(2):
         t8 = (w >> (8 * j)) & 0x00FF00FF
         me = t8 & 0x007F007F
+        if nosub == "scaled":
+            # raw exponent copy: +-0 -> bf16 +-0, normals -> v * 2**-gap
+            bits = (me << mant_shift) | ((t8 & 0x00800080) << 8)
+            planes.append(pltpu.bitcast(bits, jnp.bfloat16)
+                          .reshape(c, t_rows, bn))
+            continue
         bits = (me << mant_shift) + exp_base
+        if nosub == "true":
+            # exponent rebase is exact for normals but maps +-0 codes to
+            # 2**(1-bias): mask halfwords whose payload (me) is zero to +0.0
+            nz = (me + 0x007F007F) & 0x00800080     # bit7 set iff me != 0
+            bits = bits & ((nz >> 7) * 0xFFFF)
+            bits = bits | ((t8 & 0x00800080) << 8)
+            planes.append(pltpu.bitcast(bits, jnp.bfloat16)
+                          .reshape(c, t_rows, bn))
+            continue
         e = t8 & exp_mask
         f = e >> exp_lsb
         for s in range(exp_lsb + 1, 7):
@@ -174,11 +205,63 @@ def _odd_lo_planes(wlo, bk, bn):
     return jnp.stack(planes, axis=1).reshape(c2, 128, bn)
 
 
+def _make_flat_mx_kernel(*, out_jdtype, bm, bn, bk, gs, n_k, n_planes,
+                         channel_scale_mode, has_scales_x):
+    """MXFP4 flat-dot decode (meta.mx_flat): the e8m0 block scale folds into
+    the fp4 planes with ONE broadcast bf16 multiply — exact, since
+    fp4_value * 2^(E-127) is a normal bf16 whenever E is in the pack-checked
+    range — and the contraction becomes a single (bm, bk) x (bk, bn) MXU dot
+    per k-step instead of bk/32 batched 32-deep group dots (the MXU-stalling
+    shape behind the 26%-of-roofline round-3 number, BENCH_MATRIX.md:40).
+    x ships 2D in natural k order (folded layout) or plane-permuted
+    (reference layout); no group reshape on either side."""
+    c = bk // gs
+
+    def kernel(*refs):
+        x_ref, w_ref, s_ref = refs[0], refs[1], refs[2]
+        i = 3
+        sx_ref = None
+        if has_scales_x:
+            sx_ref = refs[i]; i += 1
+        o_ref = refs[i]
+        acc_ref = refs[i + 1]
+
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        planes = _fp4_planes(w_ref[...], n_planes, c, gs // n_planes, bn)
+        if c >= s_ref.shape[0]:
+            srows = s_ref[...]
+        else:
+            srows = s_ref[pl.ds(k * c, c), :]
+        # e8m0 exponent bits (int32) -> 2^(E-127) as bf16 (exact power of 2)
+        s16 = jax.lax.bitcast_convert_type(
+            jax.lax.shift_left(srows, 23), jnp.float32
+        ).astype(jnp.bfloat16)[:, None, :]                     # (c, 1, bn)
+        bg = jnp.stack([p * s16 for p in planes], axis=1).reshape(bk, bn)
+        raw = jax.lax.dot_general(
+            x_ref[...], bg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (bm, bn)
+        acc_ref[...] += raw
+
+        @pl.when(k == n_k - 1)
+        def _():
+            acc = acc_ref[...]
+            if channel_scale_mode == 2 and sx_ref is not None:
+                acc = acc * sx_ref[...].astype(jnp.float32)
+            o_ref[...] = acc.astype(out_jdtype)
+
+    return kernel
+
+
 def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  has_scales, has_zeros, has_scales_x,
                  out_jdtype, bm, bn, bk, gs, real_gs, n_k,
                  w_codec=None, scale_codec=None, x_batch_middle=False,
-                 odd_lo=False):
+                 odd_lo=False, fp8_nosub=False):
     """gs here is the effective group size clamped to [n_planes, bk];
     real_gs is the layer's group size (used to index the meta strips when a
     k-step covers only part of one group, i.e. bk < real_gs)."""
@@ -195,6 +278,10 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     w8_f32 = w8_codes and bm <= 8
     plane_magic, plane_dtype = MAGIC16, jnp.bfloat16
     offset = 0.0 if w8_codes else OFFSET
+    # subnormal-free fp8 fast path: raw-exponent planes hold v * 2**-gap;
+    # x carries 2**(gap/2) and the epilogue the other half (see _fp8_planes)
+    fp8_fast = fp8_nosub and w_codec in ("fp8w", "fp8w5")
+    half_scale = 2.0 ** (56 if w_codec == "fp8w5" else 60) if fp8_fast else 1.0
 
     def kernel(*refs):
         i = 0
@@ -223,7 +310,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         # ---- planes: (c, t, bn) bf16, cheap bit-trick unpack ---------------
         if w_codec in ("fp8w", "fp8w5"):
             planes = _fp8_planes(w, c, t_rows, bn,
-                                 e5m2=(w_codec == "fp8w5"))   # TRUE values
+                                 e5m2=(w_codec == "fp8w5"),
+                                 nosub="scaled" if fp8_fast else "")
         elif w_codec == "fp4":
             planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
         elif w8_codes:
@@ -259,6 +347,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             xg = x_ref[...]                        # (c, bm, gs)
         if w8_f32:
             xg = xg.astype(jnp.float32)            # f32 raw dot (tiny M)
+        if fp8_fast:
+            xg = xg * half_scale   # exact power-of-2, stays bf16 (weak f32)
         raw = jax.lax.dot_general(
             xg, bg, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (c, bm, bn)
@@ -322,6 +412,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
         @pl.when(k == n_k - 1)
         def _():
             acc = acc_ref[...]
+            if fp8_fast:
+                acc = acc * half_scale   # the other 2**(gap/2) half
             if channel_scale_mode == 1:
                 acc = acc * s_ref[...].astype(jnp.float32)
             elif channel_scale_mode == 2:
@@ -537,18 +629,28 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
         if scales_x is not None and meta.channel_scale_mode in (2, 3):
             scales_x = jnp.pad(scales_x, ((0, Mp - M), (0, 0)))
-    # 3D view with gs as a full minor axis (any size):
-    #   folded:    (Mp, G_eff, gs) — a FREE reshape, natural k order
-    #   reference: (G_eff, Mp, gs) — plane-major permuted + transposed
-    G_eff = K // gs
-    xq = xq.reshape(Mp, G_eff, gs)
-    if not folded:
-        xq = xq.transpose(1, 0, 2)
-
     has_scales = scales is not None and (
         meta.W_group_mode in (2, 3, 4) or meta.channel_scale_mode in (1, 3))
     has_zeros = zeros is not None and meta.W_group_mode in (1, 3, 4)
     has_scales_x = scales_x is not None and meta.channel_scale_mode in (2, 3)
+
+    # MXFP4 flat-dot eligibility (see _make_flat_mx_kernel): scale folded into
+    # the planes, ONE flat MXU dot, x stays 2D (no group reshape at all)
+    mx_flat = (bool(getattr(meta, "mx_flat", 0))
+               and not mx_fp8w and meta.W_nbits == 4
+               and is_mx_dtype(DType(meta.input_dtype))
+               and meta.W_group_mode == 2
+               and has_scales and scales.dtype == jnp.uint8
+               and W_lo is None)
+
+    if not mx_flat:
+        # 3D view with gs as a full minor axis (any size):
+        #   folded:    (Mp, G_eff, gs) — a FREE reshape, natural k order
+        #   reference: (G_eff, Mp, gs) — plane-major permuted + transposed
+        G_eff = K // gs
+        xq = xq.reshape(Mp, G_eff, gs)
+        if not folded:
+            xq = xq.transpose(1, 0, 2)
 
     # MX codecs: fp4 weight codes; e8m0 / nvfp4-fp8 scale encodings.
     # e8m0 exponent strips ship as int32 (Mosaic uint8 arithmetic is limited)
@@ -567,7 +669,11 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
                 scales = scales.astype(jnp.float32)
 
     c_blk = bk // gs
-    if folded:
+    if mx_flat:
+        # 2D x in natural (folded) / plane-permuted (reference) k order
+        x_spec = pl.BlockSpec((bm, bk), lambda j, k: (0, k),
+                              memory_space=pltpu.VMEM)
+    elif folded:
         x_spec = pl.BlockSpec((bm, c_blk, gs), lambda j, k: (0, k, 0),
                               memory_space=pltpu.VMEM)
     else:
@@ -609,22 +715,31 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
                                      memory_space=pltpu.VMEM))
         args.append(scales_x.astype(jnp.float32))
 
-    kernel = _make_kernel(
-        W_nbits=meta.W_nbits,
-        W_group_mode=meta.W_group_mode,
-        channel_scale_mode=meta.channel_scale_mode,
-        zero_is_scalar=bool(meta.zero_is_scalar),
-        has_scales=has_scales,
-        has_zeros=has_zeros,
-        has_scales_x=has_scales_x,
-        out_jdtype=out_jdtype,
-        bm=bm, bn=bn, bk=bk, gs=gs,
-        real_gs=meta.group_size if 1 < meta.group_size < K else bk,
-        n_k=n_k,
-        w_codec=w_codec, scale_codec=scale_codec,
-        x_batch_middle=folded,
-        odd_lo=W_lo is not None,
-    )
+    if mx_flat:
+        kernel = _make_flat_mx_kernel(
+            out_jdtype=out_jdtype, bm=bm, bn=bn, bk=bk, gs=gs, n_k=n_k,
+            n_planes=16 // meta.W_nbits,
+            channel_scale_mode=meta.channel_scale_mode,
+            has_scales_x=has_scales_x,
+        )
+    else:
+        kernel = _make_kernel(
+            W_nbits=meta.W_nbits,
+            W_group_mode=meta.W_group_mode,
+            channel_scale_mode=meta.channel_scale_mode,
+            zero_is_scalar=bool(meta.zero_is_scalar),
+            has_scales=has_scales,
+            has_zeros=has_zeros,
+            has_scales_x=has_scales_x,
+            out_jdtype=out_jdtype,
+            bm=bm, bn=bn, bk=bk, gs=gs,
+            real_gs=meta.group_size if 1 < meta.group_size < K else bk,
+            n_k=n_k,
+            w_codec=w_codec, scale_codec=scale_codec,
+            x_batch_middle=folded,
+            odd_lo=W_lo is not None,
+            fp8_nosub=bool(getattr(meta, "fp8_nosub", 0)),
+        )
 
     cost = pl.CostEstimate(
         flops=2 * Mp * N * K,

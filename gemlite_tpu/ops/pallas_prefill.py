@@ -63,7 +63,7 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                  bm, bn, bk, gs, real_gs, n_k, n_m,
                  w_codec=None, scale_codec=None, pair_fused=False,
                  folded=False, odd_lo=False, build_only=False, csm_weight=0,
-                 mx_ags=0, build_bf16=False, n_sub=1):
+                 mx_ags=0, build_bf16=False, n_sub=1, fp8_nosub=False):
     # 8-bit integer codes: 4 full-lane BYTE planes via the f32 exponent
     # trick (offset-free TRUE codes, _w8_planes; w_layout=2 fold)
     w8_codes = w_codec is None and W_nbits == 8
@@ -166,8 +166,11 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 b = v5.astype(cdt) * sv
                 return b.astype(jnp.bfloat16).reshape(bk, bn_)
             if w_codec in ("fp8w", "fp8w5"):
+                # "true" variant: exact values via exponent rebase + zero-mask
+                # (+5 ops, amortized over all M rows by the dequant-once build)
                 planes = _fp8_planes(w, c, t_rows, bn_,
-                                     e5m2=(w_codec == "fp8w5"))
+                                     e5m2=(w_codec == "fp8w5"),
+                                     nosub="true" if fp8_nosub else "")
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
             elif w_codec == "fp4":
                 planes = _fp4_planes(w, n_planes, c, t_rows, bn_)
@@ -368,7 +371,8 @@ def pallas_dequantize(W_q, scales, zeros, meta, interpret=None, W_lo=None):
         real_gs=meta.group_size if 1 < meta.group_size < K else bk,
         n_k=K // bk, n_m=1, w_codec=w_codec, scale_codec=scale_codec,
         pair_fused=pair_fused, folded=bool(getattr(meta, "w_layout", 0)),
-        odd_lo=W_lo is not None, build_only=True, csm_weight=csm)
+        odd_lo=W_lo is not None, build_only=True, csm_weight=csm,
+        fp8_nosub=bool(getattr(meta, "fp8_nosub", 0)))
 
     in_specs = [
         pl.BlockSpec((bk // meta.elements_per_sample, bn),
@@ -676,6 +680,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         folded=bool(getattr(meta, "w_layout", 0)),
         odd_lo=W_lo is not None, mx_ags=mx_ags,
         build_bf16=build_bf16, n_sub=n_sub,
+        fp8_nosub=bool(getattr(meta, "fp8_nosub", 0)),
     )
 
     x_stream_bytes = (Mp * K + (K // mx_ags) * Mp * 4) if mx_ags else Mp * K * 2

@@ -26,56 +26,34 @@ MXU_BF16_TF = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
                "v6 lite": 918.0, "v6e": 918.0}
 
 
-def which_kernel(meta, M, N, K):
-    """Reproduce ops/dispatch.py's kernel choice for labeling."""
-    from gemlite_tpu.config import lookup_config, config_signature
-    from gemlite_tpu.core import get_matmul_type
-    from gemlite_tpu.dtypes import DType, is_mx_dtype
-    from gemlite_tpu.ops.dispatch import autotune_type_id
-    from gemlite_tpu.ops.pallas_decode import (can_use_decode_kernel,
-                                               select_decode_config)
-    from gemlite_tpu.ops.pallas_int8 import (can_use_int8_decode,
-                                             select_int8_decode_config)
-    from gemlite_tpu.ops.pallas_prefill import (can_use_prefill_kernel,
-                                                select_prefill_config)
-    from gemlite_tpu.utils import m_bucket
-
-    fam = get_matmul_type(M, meta.W_nbits, is_mx_dtype(meta.input_dtype))
-    sig = config_signature(m_bucket.get_closest_m(M), N, K, meta.group_size,
-                           meta.elements_per_sample, autotune_type_id(meta))
-    cfg = lookup_config(fam, sig)
-    if M <= 64:
-        if DType(meta.input_dtype) == DType.INT8:
-            icfg = cfg or select_int8_decode_config(meta, M, N, K)
-            if not can_use_int8_decode(meta, M, N, K, icfg):
-                icfg = select_int8_decode_config(meta, M, N, K)
-            if can_use_int8_decode(meta, M, N, K, icfg):
-                return "int8_exact"
-        dcfg = cfg or select_decode_config(meta, M, N, K)
-        if can_use_decode_kernel(meta, M, N, K, dcfg):
-            return "decode_plane"
-        pcfg = cfg or select_prefill_config(meta, M, N, K)
-        if can_use_prefill_kernel(meta, M, N, K, pcfg):
-            return "prefill"
-        return "general/oracle"
-    if M >= 4096:
-        if cfg is not None and not cfg.route:
-            return "prefill(tuned)"
-        return "dense_fallback"
-    if cfg is not None and cfg.route == "fallback":
-        return "dense_fallback"
-    pcfg = cfg or select_prefill_config(meta, M, N, K)
-    from gemlite_tpu.ops.pallas_prefill import can_use_prefill_kernel as cupk
-    if cupk(meta, M, N, K, pcfg):
-        return "prefill"
-    return "general/oracle"
+def run_tpu_check(quick: bool) -> None:
+    """Correctness gate: refuse to time anything until every dispatch path
+    passes the real-chip sweep (scripts/tpu_check.py -> TPUCHECK.md).
+    Reference analogue: examples/benchmark_triton.py:63-69 check_valid."""
+    import subprocess
+    cmd = [sys.executable, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tpu_check.py")]
+    if quick:
+        cmd.append("--quick")
+    print("== TPUCHECK correctness gate ==", flush=True)
+    rc = subprocess.call(cmd)
+    if rc != 0:
+        print("TPUCHECK FAILED — refusing to benchmark broken paths.",
+              flush=True)
+        sys.exit(rc)
+    print("== TPUCHECK passed ==", flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--skip-check", action="store_true",
+                    help="skip the TPUCHECK correctness gate (debug only)")
     args = ap.parse_args()
+
+    if not args.skip_check:
+        run_tpu_check(args.quick)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -141,6 +119,12 @@ def main():
         if args.quick:
             n1 = max(n1 // 4, 5)
         tensors = [t for t in layer.get_tensor_args()]
+        # record the kernel that ACTUALLY serves this point (trace-time log
+        # in ops/dispatch.py — not a predictive mirror that can drift)
+        from gemlite_tpu.ops.dispatch import KERNEL_TRACE, last_kernel
+        KERNEL_TRACE.clear()
+        jax.block_until_ready(forward_functional(x, None, tensors, meta))
+        kern = last_kernel() or "?"
         # forward_functional wants [W_q, scales, zeros]; None entries are
         # static — bake them by substituting empty markers kept as None
         dt = timed_slope_args(meta, x, tensors, n1, 4 * n1, repeats=4)
@@ -152,7 +136,6 @@ def main():
         tf = 2 * M * N * K / dt / 1e12
         pct = 100 * gbps / hbm if M <= 64 else 100 * tf / mxu
         regime = "decode(BW)" if M <= 64 else "prefill(MXU)"
-        kern = which_kernel(meta, M, N, K)
         row = dict(label=label, M=M, N=N, K=K, us=dt * 1e6, gbps=gbps, tf=tf,
                    pct=pct, regime=regime, kernel=kern)
         print(f"{label:26s} M={M:<5d} {N}x{K}: {dt*1e6:9.2f} us  "

@@ -12,8 +12,6 @@ gradual underflow plausibly survives where the MXU flushes).
 Variants (exhaustive 256-code dequant check + perf at 4096^2 M=1):
   vmul      - trick plane * bf16(2**110), post-scale 2**10 (split in x)
   vmul_f32  - trick plane -> f32 multiply by 2**110, cast bf16, same post
-  cascade2  - masked-select fallback: trick bits for normals, the 3-level
-              renorm cascade only for E=0 (cheaper than the shipped one)
 
 Usage: python scripts/probe_fp8_rescue.py [--quick]
 """
@@ -51,27 +49,9 @@ def main():
             bits = ((t8 & 0x007F007F) << 4) | sgn
             if variant == "vmul":
                 v = pltpu.bitcast(bits, jnp.bfloat16) * RESC
-            elif variant == "vmul_f32":
+            else:  # vmul_f32
                 v = (pltpu.bitcast(bits, jnp.bfloat16).astype(jnp.float32)
                      * jnp.float32(2.0 ** 110)).astype(jnp.bfloat16)
-            else:  # cascade2: exact bits, subnormal renorm masked in
-                e = t8 & 0x00780078
-                f7 = ((e + 0x00780078) & 0x00800080) ^ 0x00800080  # sub bit7
-                smask = (f7 >> 7) * 0xFFFF
-                m3 = t8 & 0x00070007
-                b2m = ((m3 >> 2) & 0x00010001) * 0xFFFF
-                b1m = ((m3 >> 1) & 0x00010001) * 0xFFFF
-                b0m = (m3 & 0x00010001) * 0xFFFF
-                # bf16 bits for m*2**-129 (the scaled-domain subnormal target
-                # renormalized): m=1->0x0680? No — in the 2**-120 domain the
-                # sub targets are bf16-subnormal by definition; cascade2
-                # instead emits the UNSCALED bits (m * 2**-9) and relies on
-                # a separate 2**-120 post-split for the normal part, so this
-                # variant uses TWO dots. Simpler: emit bf16 bits of
-                # m * 2**-9 * 2**-20 (normal: exp 98+) and post-multiply the
-                # sub part... skipped — measured only if vmul fails.
-                sub = ((0x25003500 & 0) | 0)  # placeholder, not used
-                v = pltpu.bitcast(bits | (sub & 0), jnp.bfloat16) * RESC
             planes.append(v.reshape(c, t_rows, bn))
         return planes
 
@@ -79,11 +59,13 @@ def main():
     K, N = 256, 512
     codes = np.tile(np.arange(256, dtype=np.uint8), (K, N // 256)).reshape(K, N)
     cr = codes.reshape(K // 4, 4, N)
+    # bit-preserving uint32 -> int32 (mod-2^32 wrap keeps bits; NEVER subtract
+    # 2**31 — that XORs bit 31, flipping byte-3's fp8 sign)
     W_pack = jnp.asarray(
-        (cr[:, 0].astype(np.uint32) | (cr[:, 1].astype(np.uint32) << 8)
-         | (cr[:, 2].astype(np.uint32) << 16)
-         | (cr[:, 3].astype(np.uint32) << 24)).astype(np.int64) - 2**31,
-        jnp.int64).astype(jnp.int32)
+        cr[:, 0].astype(np.uint32) | (cr[:, 1].astype(np.uint32) << 8)
+        | (cr[:, 2].astype(np.uint32) << 16)
+        | (cr[:, 3].astype(np.uint32) << 24),
+        jnp.uint32).astype(jnp.int32)
     x1 = jnp.full((1, K), 2.0 ** 5 / K, jnp.bfloat16)  # post 2**5: 110+5+5
 
     def make_exhaustive(variant):
@@ -131,7 +113,7 @@ def main():
     K = N = 4096
     rng = np.random.default_rng(0)
     cb = rng.integers(0, 2**32, size=(K // 4, N), dtype=np.uint64)
-    Wq = jnp.asarray(cb.astype(np.int64) - 2**31, jnp.int32)
+    Wq = jnp.asarray(cb.astype(np.uint32), jnp.uint32).astype(jnp.int32)
     x = jnp.asarray(rng.standard_normal((1, K)) * 0.1, jnp.bfloat16)
     s = jnp.asarray(rng.standard_normal((1, N)) * 0.01 + 1, jnp.float32)
 
