@@ -279,6 +279,16 @@ class A16Wn_HQQ_INT(A16Wn):
         return super().from_weights(W_q, scales, zeros, self.W_nbits, group_size,
                                     bias, "INT")
 
+    def from_float_weights(self, weight, bias=None, group_size=128, iters=12):
+        """Quantize FLOAT weights with the native HQQ-style error-minimizing
+        grouped-INT quantizer (quant.quantize_int_weights) and pack. The
+        reference delegates this step to the external hqq package
+        (helper.py:339-370); here it is built in."""
+        from .quant import quantize_int_weights
+        W_q, scales, zeros = quantize_int_weights(
+            _to_np(weight), self.W_nbits, group_size, iters=iters)
+        return self.from_weights(W_q, scales, zeros, bias)
+
 
 class A16W8_HQQ_INT(A16Wn_HQQ_INT):
     def __init__(self, device=None, dtype=None):
@@ -619,13 +629,11 @@ def _warmup_layer(processor, w, group_size):
 
 
 def _warmup_quantize(processor, w, group_size):
-    """Group-quantize a float matrix for Wn processors (HQQ-style asymmetric)."""
+    """Group-quantize a float matrix for Wn processors: min-max init + the
+    native HQQ-style alternating error refinement (quant.quantize_int_weights
+    — the reference delegates this step to the external hqq package)."""
+    from .quant import quantize_int_weights
     nb = processor.W_nbits
-    N, K = w.shape
-    gs = group_size if nb <= 4 else K
-    wg = w.reshape(-1, gs)
-    mn, mx = wg.min(axis=1, keepdims=True), wg.max(axis=1, keepdims=True)
-    scales = np.maximum((mx - mn) / (2**nb - 1), 1e-8)
-    zeros = -mn / scales
-    W_q = np.clip(np.round(wg / scales + zeros), 0, 2**nb - 1).astype(np.uint8)
-    return processor.from_weights(W_q.reshape(N, K), scales, zeros, bias=None)
+    gs = group_size if nb <= 4 else w.shape[1]
+    W_q, scales, zeros = quantize_int_weights(w, nb, gs)
+    return processor.from_weights(W_q, scales, zeros, bias=None)

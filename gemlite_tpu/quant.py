@@ -350,3 +350,63 @@ class WeightQuantizerMXFP:
         if shape is not None:
             out = out.reshape(shape)
         return out.astype(self.compute_dtype if dtype is None else dtype)
+
+
+# ---------------------------------------------------------------------------
+# Native grouped-INT weight quantizer (HQQ-style error minimization)
+# ---------------------------------------------------------------------------
+def quantize_int_weights(weight, W_nbits: int = 4, group_size: int = 128,
+                         iters: int = 12, optimize: bool = True):
+    """Grouped asymmetric INT quantization with alternating error refinement.
+
+    The reference delegates error-minimizing INT quantization to the external
+    ``hqq`` package (reference helper.py:339-370 builds HQQLinear); this is
+    the native equivalent: min-max init, then ``iters`` rounds of alternating
+    (a) re-rounding W_q under the current affine params and (b) per-group
+    least-squares refit of (scale, zero) to the rounded codes — monotone on
+    the tracked objective because the best iterate is kept.
+
+    Returns ``(W_q uint8 (N, K), scales f32 (G, 1), zeros f32 (G, 1))``,
+    exactly the triple ``GemLiteLinear.pack`` / ``A16Wn_HQQ_INT.from_weights``
+    expect (dequant = (W_q - zeros) * scales).
+    """
+    W = np.asarray(jax.device_get(weight), dtype=np.float32)
+    orig_shape = W.shape
+    g = W.reshape(-1, group_size)                       # (G, gs)
+    qmax = float(2 ** W_nbits - 1)
+
+    lo = g.min(axis=1, keepdims=True)
+    hi = g.max(axis=1, keepdims=True)
+    s = np.maximum((hi - lo) / qmax, 1e-8)              # (G, 1)
+    z = -lo / s                                         # (G, 1)
+
+    def quant(s, z):
+        return np.clip(np.round(g / s + z), 0, qmax)
+
+    def err(q, s, z):
+        return np.mean((g - (q - z) * s) ** 2, axis=1, keepdims=True)
+
+    q = quant(s, z)
+    best = (err(q, s, z), q, s, z)
+    if optimize:
+        for _ in range(iters):
+            # least-squares refit of W ~ s*q + b per group (b = -s*z)
+            qm = q.mean(axis=1, keepdims=True)
+            wm = g.mean(axis=1, keepdims=True)
+            var = ((q - qm) ** 2).mean(axis=1, keepdims=True)
+            cov = ((q - qm) * (g - wm)).mean(axis=1, keepdims=True)
+            s_new = np.where(var > 1e-12, cov / np.maximum(var, 1e-12), s)
+            s_new = np.where(np.abs(s_new) > 1e-8, s_new, s)
+            z_new = -(wm - s_new * qm) / s_new
+            q_new = quant(s_new, z_new)
+            e_new = err(q_new, s_new, z_new)
+            keep = e_new < best[0]
+            best = (np.where(keep, e_new, best[0]),
+                    np.where(keep, q_new, best[1]),
+                    np.where(keep, s_new, best[2]),
+                    np.where(keep, z_new, best[3]))
+            q, s, z = best[1], best[2], best[3]
+
+    _, q, s, z = best
+    W_q = q.reshape(orig_shape).astype(np.uint8)
+    return (jnp.asarray(W_q), s.astype(np.float32), z.astype(np.float32))

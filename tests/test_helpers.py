@@ -177,3 +177,36 @@ def test_patch_model_generic_tree():
     patch_model(m, A16W8_INT8())
     assert isinstance(m.blocks[0].proj, GemLiteLinear)
     assert isinstance(m.blocks[1].proj, GemLiteLinear)
+
+
+def test_native_int_quantizer_beats_minmax():
+    """quant.quantize_int_weights (the native HQQ-style alternating
+    refinement; reference delegates to the external hqq package) must never
+    be worse than min-max and must integrate with A16Wn_HQQ_INT."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gemlite_tpu.quant import quantize_int_weights
+    from gemlite_tpu.helper import A16W4_HQQ_INT
+
+    rng = np.random.default_rng(11)
+    W = rng.normal(size=(256, 512)).astype(np.float32) * 0.02
+    W[rng.integers(0, 256, 16), rng.integers(0, 512, 16)] *= 8  # outliers
+
+    for nb in (2, 4, 8):
+        Wq, s, z = quantize_int_weights(W, nb, 128, iters=10)
+        rec = ((np.asarray(Wq).reshape(-1, 128) - z) * s).reshape(W.shape)
+        Wq0, s0, z0 = quantize_int_weights(W, nb, 128, optimize=False)
+        rec0 = ((np.asarray(Wq0).reshape(-1, 128) - z0) * s0).reshape(W.shape)
+        mse_opt = float(((W - rec) ** 2).mean())
+        mse_mm = float(((W - rec0) ** 2).mean())
+        assert mse_opt <= mse_mm * 1.0001, (nb, mse_opt, mse_mm)
+        assert np.asarray(Wq).dtype == np.uint8
+        assert (np.asarray(Wq) <= 2 ** nb - 1).all()
+
+    lay = A16W4_HQQ_INT(dtype=jnp.bfloat16).from_float_weights(W)
+    x = jnp.asarray(rng.normal(size=(2, 512)) * 0.1, jnp.bfloat16)
+    y = lay(x)
+    ref = np.asarray(x, np.float32) @ W.T
+    rel = float(np.abs(np.asarray(y, np.float32) - ref).mean()
+                / (np.abs(ref).mean() + 1e-12))
+    assert rel < 0.15, rel

@@ -176,6 +176,48 @@ def test_fp8_codec_exhaustive(e5m2):
             assert (np.signbit(half[finite]) == np.signbit(truth[finite, None])).all()
 
 
+@pytest.mark.parametrize("e5m2", [False, True])
+@pytest.mark.parametrize("variant", ["true", "scaled"])
+def test_fp8_codec_nosub_variants(e5m2, variant):
+    """The subnormal-free fast remaps (meta.fp8_nosub) decode every NORMAL
+    finite code and +-0 bit-exactly vs ml_dtypes: 'true' gives true values
+    (prefill), 'scaled' gives value * 2^-gap (decode; gap folded back here).
+    Subnormal codes are excluded — the pack-time scan guarantees absence."""
+    import ml_dtypes
+    import jax
+    from jax.experimental import pallas as pl
+    from gemlite_tpu.ops.pallas_decode import _fp8_planes
+
+    codes = np.arange(256, dtype=np.uint32)
+    w = np.broadcast_to((codes * 0x01010101)[:, None], (256, 128))
+    w = np.ascontiguousarray(w).view(np.int32).reshape(256, 128)
+
+    def kern(w_ref, o_ref):
+        planes = _fp8_planes(w_ref[...], c=1, t_rows=512, bn=128, e5m2=e5m2,
+                             nosub=variant)
+        o_ref[...] = jnp.stack(
+            [p.reshape(512, 128) for p in planes], 0).astype(jnp.float32)
+
+    out = np.asarray(pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((2, 512, 128), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(w)))
+
+    dt = ml_dtypes.float8_e5m2 if e5m2 else ml_dtypes.float8_e4m3fn
+    truth = codes.astype(np.uint8).view(dt).astype(np.float32)
+    if variant == "scaled":
+        truth = truth * 2.0 ** -(112 if e5m2 else 120)
+    exp_m, man_m = (0x7C, 0x03) if e5m2 else (0x78, 0x07)
+    sub = ((codes & exp_m) == 0) & ((codes & man_m) != 0)
+    ok = np.isfinite(codes.astype(np.uint8).view(dt).astype(np.float32)) & ~sub
+    for j in range(2):
+        for half in (out[j, 0::2, :], out[j, 1::2, :]):
+            assert (half[ok] == truth[ok, None]).all(), (
+                variant, np.where((half[:, 0] != truth) & ok))
+            assert (np.signbit(half[ok]) == np.signbit(truth[ok, None])).all()
+
+
 def test_deep_k_aligned_slices():
     """bk = 8*gs exercises the 8-aligned multi-row metadata slice path."""
     K, N, gs = 2048, 256, 32
