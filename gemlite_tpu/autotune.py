@@ -62,12 +62,17 @@ def _candidate_grid(effort: str, M, N, K, group_size):
     bks = [b for b in bks if K % b == 0] or [b for b in (512, 256, 128) if K % b == 0]
     cands = [KernelConfig(bm, bn, bk)
              for bm, bn, bk in itertools.product(bms, bns, bks)]
-    if effort == "max" and M > 64:
-        # prefill build knobs (bf16 cache arithmetic / sub-column interleave)
+    if M > 64:
+        # prefill build knobs (bf16 cache arithmetic / sub-column interleave):
+        # at mid-M the VPU dequant-cache build is a large fraction of the MXU
+        # dot time (57-77% of peak at M=256 in round 3), and these knobs are
+        # exactly the overlap/traffic levers — probe them at every effort
+        knobs = (((True, 1), (False, 2), (True, 2)) if effort == "max"
+                 else ((True, 1), (True, 2), (False, 2), (True, 4)))
         cands += [KernelConfig(c.block_m, c.block_n, c.block_k,
                                build_bf16=bf, n_sub=ns)
                   for c in list(cands)
-                  for bf, ns in ((True, 1), (False, 2), (True, 2))
+                  for bf, ns in knobs
                   if c.block_n % (ns * 128) == 0]
     return cands
 

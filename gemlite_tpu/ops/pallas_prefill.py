@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..dtypes import DType, to_jax_dtype
+from ..dtypes import DType, is_mx_dtype, to_jax_dtype
 from ..config import KernelConfig
 from .pallas_decode import (
     MAGIC16,
@@ -532,7 +532,15 @@ def select_prefill_config(meta, M, N, K) -> KernelConfig:
             continue
         bk = cand
         break
-    return KernelConfig(block_m=bm, block_n=bn, block_k=bk)
+    # e8m0-scaled MX layers: the bf16 build is EXACT (fp4/fp8 mantissas fit
+    # bf16 and the block scale is a power of two), so take the halved VPU
+    # build traffic by default — the build cost is what holds MX prefill
+    # below the int-path's MXU fraction (BENCH_MATRIX round 3: 52% vs 91%)
+    build_bf16 = (is_mx_dtype(DType(meta.input_dtype))
+                  and DType(meta.input_dtype) != DType.NVFP4
+                  and meta.W_group_mode == 2)
+    return KernelConfig(block_m=bm, block_n=bn, block_k=bk,
+                        build_bf16=build_bf16)
 
 
 def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
