@@ -17,11 +17,18 @@ Optionally cross-checks the dense importer against the torch/transformers
 forward of the same checkpoint (--torch-check).
 
 Usage: python examples/perplexity_parity.py [--ckpt DIR] [--tokens N]
-       [--torch-check] [--write-parity-md]
+       [--torch-check] [--write-parity-md] [--cpu]
 """
 import argparse
 import os
+import sys
 import _pathfix  # noqa: F401
+
+if "--cpu" in sys.argv:
+    # must run before the first jax use: the axon sitecustomize force-
+    # registers the TPU tunnel platform and ignores the JAX_PLATFORMS env var
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -71,6 +78,8 @@ def main():
     ap.add_argument("--torch-check", action="store_true",
                     help="also run the torch/transformers forward")
     ap.add_argument("--write-parity-md", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled at import above)")
     args = ap.parse_args()
 
     import jax.numpy as jnp

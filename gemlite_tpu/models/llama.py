@@ -98,10 +98,22 @@ _LINEAR_KEYS = (("attn", "wq"), ("attn", "wk"), ("attn", "wv"), ("attn", "wo"),
 
 
 def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
-                   group_size: int = 128, quantize_lm_head: bool = False) -> Dict:
+                   group_size: int = 128, quantize_lm_head: bool = False,
+                   fuse: bool = False) -> Dict:
     """Replace every block linear (and optionally lm_head) with a packed
     GemLiteLinear via `processor.from_weights` (defaults to HQQ-style
-    asymmetric grouped quantization at the given bit width)."""
+    asymmetric grouped quantization at the given bit width).
+
+    ``fuse=True`` concatenates q/k/v into ONE ``wqkv`` layer and gate/up into
+    ONE ``gate_up`` layer before quantizing (quantization groups run along K
+    within each output row, so fused quantization is bit-identical to
+    separate quantization). One wide kernel call replaces three/two narrow
+    ones — at decode the per-call fixed cost (grid setup, metadata streams)
+    is amortized over 2-3x the output columns, which is exactly where
+    sub-nibble (W2/W1) decode is overhead-bound. The wider N also gives the
+    MXU/VPU more parallel work per launch. (GPU analogue: vLLM/TGI fused
+    QKVParallelLinear; the reference delegates model surgery to those
+    frameworks, here the model family is first-class.)"""
     from ..helper import A16Wn_HQQ_INT
 
     if processor is None:
@@ -125,8 +137,18 @@ def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
     for blk in params["blocks"]:
         nb = {"attn": dict(blk["attn"]), "mlp": dict(blk["mlp"]),
               "ln_attn": blk["ln_attn"], "ln_mlp": blk["ln_mlp"]}
-        for grp, name in _LINEAR_KEYS:
-            nb[grp][name] = q(blk[grp][name])
+        if fuse:
+            a, m = blk["attn"], blk["mlp"]
+            wqkv = np.concatenate([np.asarray(a["wq"], np.float32),
+                                   np.asarray(a["wk"], np.float32),
+                                   np.asarray(a["wv"], np.float32)], axis=0)
+            gate_up = np.concatenate([np.asarray(m["gate"], np.float32),
+                                      np.asarray(m["up"], np.float32)], axis=0)
+            nb["attn"] = {"wqkv": q(wqkv), "wo": q(a["wo"])}
+            nb["mlp"] = {"gate_up": q(gate_up), "down": q(m["down"])}
+        else:
+            for grp, name in _LINEAR_KEYS:
+                nb[grp][name] = q(blk[grp][name])
         out["blocks"].append(nb)
     if quantize_lm_head:
         out["lm_head"] = q(params["lm_head"])
@@ -173,18 +195,28 @@ def shard_llama(params: Dict, mesh: Mesh, axis: str = "tp") -> Dict:
     out["ln_f"] = put(params["ln_f"], P())
     out["blocks"] = []
     for blk in params["blocks"]:
-        nb = {
-            "attn": {
+        if "wqkv" in blk["attn"]:
+            # fused projections: still column-parallel over the fused N;
+            # GSPMD reshards the post-matmul q/k/v (gate/up) slices as needed
+            attn = {"wqkv": put_layer(blk["attn"]["wqkv"], "column"),
+                    "wo": put_layer(blk["attn"]["wo"], "row")}
+            mlp = {"gate_up": put_layer(blk["mlp"]["gate_up"], "column"),
+                   "down": put_layer(blk["mlp"]["down"], "row")}
+        else:
+            attn = {
                 "wq": put_layer(blk["attn"]["wq"], "column"),
                 "wk": put_layer(blk["attn"]["wk"], "column"),
                 "wv": put_layer(blk["attn"]["wv"], "column"),
                 "wo": put_layer(blk["attn"]["wo"], "row"),
-            },
-            "mlp": {
+            }
+            mlp = {
                 "gate": put_layer(blk["mlp"]["gate"], "column"),
                 "up": put_layer(blk["mlp"]["up"], "column"),
                 "down": put_layer(blk["mlp"]["down"], "row"),
-            },
+            }
+        nb = {
+            "attn": attn,
+            "mlp": mlp,
             "ln_attn": put(blk["ln_attn"], P()),
             "ln_mlp": put(blk["ln_mlp"], P()),
         }
@@ -281,9 +313,18 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
     instead of max_seq_len)."""
     B, S, H = x.shape
     h = _rms_norm(x, blk["ln_attn"], cfg.norm_eps)
-    q = _apply(blk["attn"]["wq"], h).reshape(B, S, cfg.num_heads, cfg.head_dim)
-    k = _apply(blk["attn"]["wk"], h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-    v = _apply(blk["attn"]["wv"], h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    QD = cfg.num_heads * cfg.head_dim
+    KD = cfg.num_kv_heads * cfg.head_dim
+    if "wqkv" in blk["attn"]:
+        qkv = _apply(blk["attn"]["wqkv"], h)
+        q, k, v = (qkv[..., :QD], qkv[..., QD:QD + KD], qkv[..., QD + KD:])
+    else:
+        q = _apply(blk["attn"]["wq"], h)
+        k = _apply(blk["attn"]["wk"], h)
+        v = _apply(blk["attn"]["wv"], h)
+    q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
@@ -361,8 +402,13 @@ def _block_forward(blk, cfg, x, positions, kv, layer_idx, cache_len,
     x = x + _apply(blk["attn"]["wo"], attn)
 
     h = _rms_norm(x, blk["ln_mlp"], cfg.norm_eps)
-    g = _apply(blk["mlp"]["gate"], h)
-    u = _apply(blk["mlp"]["up"], h)
+    if "gate_up" in blk["mlp"]:
+        gu = _apply(blk["mlp"]["gate_up"], h)
+        I = gu.shape[-1] // 2
+        g, u = gu[..., :I], gu[..., I:]
+    else:
+        g = _apply(blk["mlp"]["gate"], h)
+        u = _apply(blk["mlp"]["up"], h)
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
     x = x + _apply(blk["mlp"]["down"], h)
     return x, kv

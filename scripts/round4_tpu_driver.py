@@ -100,11 +100,17 @@ def main():
     # -- 4: autotune mid-M buckets + new-path decode signatures -------------
     if skip < 4:
         t0 = stage(4, "autotune M in {128,256,512} W4 gs=128 (+8192 square)")
-        from gemlite_tpu.autotune import autotune_shapes
+        from gemlite_tpu.autotune import autotune_shapes, autotune_layer
         from gemlite_tpu import config as cfg
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "gemlite_tpu", "configs",
             "v5_lite.json")
+
+        def save():
+            cfg.cache_config(out)
+            n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
+            print(f"wrote {out} ({n} entries)", flush=True)
+
         for shape in ((4096, 4096), (8192, 8192), (14336, 4096),
                       (4096, 14336)):
             for bs in (128, 256, 512):
@@ -112,9 +118,28 @@ def main():
                 autotune_shapes([shape], W_nbits=4, group_size=128,
                                 batch_sizes=(bs,), effort="fast",
                                 verbose=True)
-                cfg.cache_config(out)
-                n = sum(len(v) for v in cfg.GEMLITE_TPU_CONFIG_CACHE.values())
-                print(f"wrote {out} ({n} entries)", flush=True)
+                save()
+        # the two big BENCH_MATRIX mid-M rows (77.3% / 80.8% in round 3)
+        for shape in ((16384, 16384), (32768, 32768)):
+            print(f"=== W4 gs=128 {shape} M=256 ===", flush=True)
+            autotune_shapes([shape], W_nbits=4, group_size=128,
+                            batch_sizes=(256,), effort="fast", verbose=True)
+            save()
+        # new-path decode signatures: MXFP4 flat-dot + A8W8-FP8 nosub
+        from gemlite_tpu.dtypes import DType as DT
+        print("=== MXFP4 4096x4096 decode+prefill ===", flush=True)
+        autotune_shapes([(4096, 4096)], input_dtype=DT.MXFP4,
+                        batch_sizes=(1, 16, 256), effort="fast", verbose=True)
+        save()
+        print("=== A8W8-FP8 4096x4096 decode ===", flush=True)
+        from gemlite_tpu.helper import A8W8_fp8_dynamic
+        import numpy as _np
+        Wf = _np.random.default_rng(0).normal(
+            size=(4096, 4096)).astype(_np.float32) * 0.02
+        lay8 = A8W8_fp8_dynamic().from_weights(Wf, None)
+        autotune_layer(lay8, batch_sizes=(1, 16, 64), effort="fast",
+                       verbose=True)
+        save()
         print(f"stage 4 done in {time.time()-t0:.0f}s", flush=True)
 
     # -- 5: bench matrix ----------------------------------------------------

@@ -134,3 +134,61 @@ def test_dense_shard_specs_follow_megatron_layout(params):
     assert dim_sharded(blk["mlp"]["gate"]) == [0]
     assert dim_sharded(blk["attn"]["wo"]) == [1]     # row: K sharded
     assert dim_sharded(blk["mlp"]["down"]) == [1]
+
+
+# ---------------------------------------------------------------------------
+# Fused projections (wqkv / gate_up)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fparams(params):
+    return quantize_llama(params, W_nbits=4, group_size=64, fuse=True)
+
+
+def test_fused_structure(fparams):
+    blk = fparams["blocks"][0]
+    assert set(blk["attn"]) == {"wqkv", "wo"}
+    assert set(blk["mlp"]) == {"gate_up", "down"}
+    QD = CFG.num_heads * CFG.head_dim
+    KD = CFG.num_kv_heads * CFG.head_dim
+    assert blk["attn"]["wqkv"].out_features == QD + 2 * KD
+    assert blk["mlp"]["gate_up"].out_features == 2 * CFG.intermediate_size
+
+
+@pytest.mark.slow
+def test_fused_matches_unfused_bitexact(params, qparams, fparams):
+    """Quantization groups run along K within each output row, so fusing
+    along N changes neither the group boundaries nor the quantized codes —
+    fused and unfused forwards must agree to float tolerance."""
+    tokens = _tokens(2, 9)
+    lu = llama_forward(qparams, CFG, tokens).astype(jnp.float32)
+    lfu = llama_forward(fparams, CFG, tokens).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(lfu), np.asarray(lu),
+                               rtol=2e-2, atol=2e-2)
+    rel = float(jnp.mean(jnp.abs(lfu - lu)) / (jnp.mean(jnp.abs(lu)) + 1e-9))
+    assert rel < 1e-3, rel
+
+
+@pytest.mark.slow
+def test_fused_decode_with_cache(fparams):
+    tokens = _tokens(2, 8)
+    kv = init_kv_cache(CFG, 2)
+    logits, kv = llama_prefill(fparams, CFG, tokens, kv)
+    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    logits_d, kv = llama_decode_step(fparams, CFG, nxt, kv, jnp.int32(8))
+    full = jnp.concatenate([tokens, nxt], axis=1)
+    logits_full = llama_forward(fparams, CFG, full)
+    err = float(jnp.mean(jnp.abs(logits_d[:, 0].astype(jnp.float32)
+                                 - logits_full[:, -1].astype(jnp.float32))))
+    assert err < 5e-3, err
+
+
+@pytest.mark.slow
+def test_fused_sharded_matches_single(fparams):
+    mesh = make_mesh({"dp": -1, "tp": 2})
+    sparams = shard_llama(fparams, mesh, axis="tp")
+    tokens = _tokens(2, 8)
+    lref = llama_forward(fparams, CFG, tokens).astype(jnp.float32)
+    lsh = llama_forward(sparams, CFG, tokens).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(lsh), np.asarray(lref),
+                               rtol=5e-2, atol=5e-2)
