@@ -159,6 +159,17 @@ def main():
             "(rel err < 5e-4, >99% argmax agreement); the torch row above is",
             "the same cross-check on this trained checkpoint.",
             "",
+            "On the W4 gap: quantization uses the native HQQ-style",
+            "error-minimizing quantizer (quant.quantize_int_weights,",
+            "alternating re-round + per-group least-squares scale/zero",
+            "refit — 2.3x MSE over min-max at W2, 1.14x at W4), which cut",
+            "the round-3 deltas (W4 gs=128 0.117 -> 0.110, W2 3.41 -> 2.56).",
+            "The residual is inherent 4-bit PTQ noise on a 4.85M-param",
+            "model: per-weight rounding error is fixed by the 16-level grid",
+            "while small models lack the parameter redundancy that absorbs",
+            "it in 8B-class networks (the reference's W4 accuracy claims are",
+            "all on 8B+ checkpoints, reference README.md:219).",
+            "",
             f"Generated by `python examples/perplexity_parity.py --torch-check"
             f" --write-parity-md` on backend shown in the run log.",
         ]

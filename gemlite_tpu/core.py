@@ -78,6 +78,16 @@ def set_acc_dtype(dtype):
     GEMLITE_ACC_DTYPE[DType.FP16] = dtype
 
 
+_MX_X2_ENABLED = True
+
+
+def set_mx_x2(enable: bool):
+    """Enable/disable the pack-time MXFP4 x2 re-encode (LayerMeta.mx_x2).
+    Affects subsequent pack() calls only; packed layers keep their codec."""
+    global _MX_X2_ENABLED
+    _MX_X2_ENABLED = bool(enable)
+
+
 def _fp8_codes_subnormal_free(codes_or_packed, e5m2: bool) -> bool:
     """True when no stored fp8 bit code is subnormal (E=0, M!=0). Works on
     the uint8 code matrix or on the packed int32 words (folding/packing only
@@ -150,6 +160,13 @@ class LayerMeta(NamedTuple):
     # planes with one broadcast multiply and contracts ONE flat (bm,bk)x
     # (bk,bn) MXU dot instead of bk/32 batched 32-deep group dots
     mx_flat: int = 0
+    # 1 when an MXFP4 layer's packed nibbles were pack-time re-encoded to the
+    # x2 codebook (quant.fp4x2_remap_packed: codes 0<->1 swapped, e8m0 scale
+    # exponents pre-decremented): every nonzero code then decodes as the
+    # bf16 NORMAL (1+m/2)*2^e via a single field insert (_fp4x2_planes,
+    # 14 VPU ops/pair vs the 19-op subnormal-aware _fp4_planes) — the fp4
+    # plane build is the whole MXFP4 decode cost at M=1
+    mx_x2: int = 0
 
     @property
     def meta_args(self):
@@ -280,6 +297,7 @@ class GemLiteLinear:
         self.w_layout = 0
         self.fp8_nosub = 0
         self.mx_flat = 0
+        self.mx_x2 = 0
 
     # ------------------------------------------------------------------
     # pack(): offline weight preparation + dequant-mode decision tree.
@@ -452,12 +470,33 @@ class GemLiteLinear:
             # tl.dot_scaled (core.py:495); our kernels define the layout.
             self.W_group_mode = 2
             self.channel_scale_mode = 0
+        # MXFP4 x2 re-encode (decode-kernel fast path, see LayerMeta.mx_x2):
+        # remap the packed nibbles to the x2 codebook and pre-decrement the
+        # e8m0 scale exponents (value' = 2v, scale' = s/2 — exact). Requires
+        # every E >= 1 so E-1 stays a valid e8m0 exponent.
+        self.mx_x2 = 0
+        # guard mirrors the kernels' codec choice: any MX input dtype with
+        # 4-bit weights and uint8 e8m0 scales is fp4-coded (NVFP4 is excluded
+        # by its fp8-e4m3 scales)
+        if (_MX_X2_ENABLED and is_mx_dtype(self.input_dtype)
+                and self.W_nbits == 4 and self.scales is not None
+                and self.scales.dtype == jnp.uint8
+                and jnp.asarray(self.W_q).dtype == jnp.int32):
+            e = np.asarray(self.scales)
+            if e.size and int(e.min()) >= 1:
+                # scales fold here; the nibble remap runs AFTER the plane
+                # fold below (the fold repacks from the pre-remap codes_2d)
+                self.scales = jnp.asarray(e - 1, dtype=jnp.uint8)
+                self.mx_x2 = 1
         # MXFP4 flat-dot eligibility: every e8m0 exponent must keep
         # fp4_value * 2^(E-127) an exact NORMAL bf16 (fp4 min-normal-exp -1
         # and max 6 = 2^2.58: E in [16, 235] leaves > 100 octaves of slack
-        # on either side of bf16's [-126, 127] range)
+        # on either side of bf16's [-126, 127] range). Superseded at dispatch
+        # by mx_x2 (the batched x2 build measured faster than the flat fold
+        # on-chip), kept for non-x2 layers/checkpoints.
         self.mx_flat = 0
-        if (is_mx_dtype(self.input_dtype) and self.W_nbits == 4
+        if (not self.mx_x2
+                and is_mx_dtype(self.input_dtype) and self.W_nbits == 4
                 and self.scales is not None
                 and self.scales.dtype == jnp.uint8):
             e = np.asarray(self.scales)
@@ -482,6 +521,12 @@ class GemLiteLinear:
                 fold_codes_for_planes(codes_2d, n_planes, fold_gs),
                 self.W_nbits, packing_bitwidth, transpose=True)
             self.w_layout = layout
+
+        if self.mx_x2:
+            # per-nibble x2 re-encode, last so it survives the fold repack
+            # (position-independent, commutes with any code permutation)
+            from .quant import fp4x2_remap_packed
+            self.W_q = fp4x2_remap_packed(self.W_q)
 
         return self
 
@@ -599,6 +644,7 @@ class GemLiteLinear:
             w_layout=getattr(self, "w_layout", 0),
             fp8_nosub=getattr(self, "fp8_nosub", 0),
             mx_flat=getattr(self, "mx_flat", 0),
+            mx_x2=getattr(self, "mx_x2", 0),
         )
 
     def forward_manual(self, x, matmul_type: str = "GEMM"):
@@ -636,6 +682,8 @@ class GemLiteLinear:
             sd["fp8_nosub"] = np.asarray(self.fp8_nosub, dtype=np.int32)
         if getattr(self, "mx_flat", 0):
             sd["mx_flat"] = np.asarray(self.mx_flat, dtype=np.int32)
+        if getattr(self, "mx_x2", 0):
+            sd["mx_x2"] = np.asarray(self.mx_x2, dtype=np.int32)
         return sd
 
     def load_state_dict(self, state_dict):
@@ -695,12 +743,17 @@ class GemLiteLinear:
         if self.input_dtype in (DType.MXFP16, DType.MXBF16, DType.MXFP8, DType.MXFP4) \
            and self.scales is not None and self.scales.dtype != jnp.uint8:
             self.scales = jax.lax.bitcast_convert_type(self.scales, jnp.uint8)
+        # x2-re-encoded checkpoints carry the flag; its absence means the
+        # stored nibbles are standard fp4 codes (no re-scan possible)
+        self.mx_x2 = int(np.asarray(sd["mx_x2"])) if "mx_x2" in sd else 0
         if "mx_flat" in sd:
             self.mx_flat = int(np.asarray(sd["mx_flat"]))
         else:
             # older MXFP4 checkpoint without the flag: re-scan the e8m0 range
+            # (x2-re-encoded codes are not _fp4_planes-decodable: never flat)
             self.mx_flat = 0
-            if (is_mx_dtype(self.input_dtype) and self.W_nbits == 4
+            if (not self.mx_x2
+                    and is_mx_dtype(self.input_dtype) and self.W_nbits == 4
                     and self.scales is not None
                     and self.scales.dtype == jnp.uint8):
                 e = np.asarray(self.scales)
@@ -772,6 +825,7 @@ class GemLiteLinear:
         layer.w_layout = meta.w_layout
         layer.fp8_nosub = meta.fp8_nosub
         layer.mx_flat = meta.mx_flat
+        layer.mx_x2 = getattr(meta, "mx_x2", 0)
         layer.compute_dtype = to_jax_dtype(layer.input_dtype)
         layer.signature = (layer.in_features, layer.out_features, layer.W_nbits, layer.group_size)
         return layer

@@ -170,7 +170,13 @@ def mx_dequantize_weight_ref(W_q_packed, scales, meta: LayerMeta):
     if meta.W_nbits == 4:
         from .bitpack import unpack_over_rows
         codes = _unfold(unpack_over_rows(W_q_packed, 4, K), 4)  # (K, N) codes
-        vals = fp4_dequant(codes)
+        if getattr(meta, "mx_x2", 0):
+            # x2 re-encode (LayerMeta.mx_x2): doubled values, and the stored
+            # e8m0 scales are already pre-decremented — exact round trip
+            from .quant import fp4x2_dequant
+            vals = fp4x2_dequant(codes)
+        else:
+            vals = fp4_dequant(codes)
     elif W_q_packed.dtype == jnp.int32:
         # fp8 bits packed 4-per-int32 (core.pack MXFP8 path)
         from .bitpack import unpack_over_rows

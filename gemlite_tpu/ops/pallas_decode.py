@@ -89,6 +89,27 @@ def _fp4_planes(w, n_planes, c, t_rows, bn):
     return planes
 
 
+def _fp4x2_planes(w, n_planes, c, t_rows, bn):
+    """x2-re-encoded fp4 codes (meta.mx_x2: pack-time nibble remap 0<->1 in
+    the em field + e8m0 scale fold E-1, quant.fp4x2_remap_packed): every
+    NONZERO code decodes as the bf16 NORMAL (1+m/2)*2^e, e in 0..3, via a
+    single field insert — no subnormal cascade. em==1 marks zero (4-op
+    mask). 14 VPU ops/pair vs _fp4_planes' 19: the fp4 build is the decode
+    bottleneck at M=1 (42us vs int-W4's 13us at 4096^2 in round 4 stage 3),
+    so the build op count IS the MXFP4 decode time."""
+    planes = []
+    for j in range(n_planes):
+        t = (w >> (4 * j)) & 0x000F000F
+        n = t & 0x00070007
+        bits = (n << 6) + 0x3F803F80             # (1+m/2) * 2^e
+        d = n ^ 0x00010001                       # 0 iff zero marker
+        nz = (d + 0x00070007) & 0x00080008       # bit3 set iff nonzero
+        bits = bits & ((nz >> 3) * 0xFFFF)
+        bits = bits | ((t & 0x00080008) << 12)
+        planes.append(pltpu.bitcast(bits, jnp.bfloat16).reshape(c, t_rows, bn))
+    return planes
+
+
 def _fp8_planes(w, c, t_rows, bn, e5m2: bool = False, nosub: str = ""):
     """fp8 bit patterns (4 per int32 word) -> TRUE bf16 values via bit remap,
     EXACT over the full finite codebook including subnormals (pinned bit-exact
@@ -314,6 +335,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                                  nosub="scaled" if fp8_fast else "")
         elif w_codec == "fp4":
             planes = _fp4_planes(w, n_planes, c, t_rows, bn)  # TRUE values
+        elif w_codec == "fp4x2":
+            planes = _fp4x2_planes(w, n_planes, c, t_rows, bn)  # 2x values
         elif w8_codes:
             planes = _w8_planes(w, c, t_rows, bn, w8_f32)     # TRUE codes
         else:
@@ -376,8 +399,9 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             # non-quantized true-value codes (A8W8-FP8 post-scale, csm 3):
             # fp8 planes decode exactly, epilogue applies the channel scales
             contrib = raw
-        elif W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
-            # fp4/fp8 planes are true values: just the block scale, post-dot
+        elif W_group_mode == 2 and w_codec in ("fp4", "fp4x2", "fp8w", "fp8w5"):
+            # fp4/fp8 planes are true values (x2: doubled values x halved
+            # scale): just the block scale, post-dot
             contrib = raw * meta_rows(s_ref)
         elif W_group_mode == 2:
             # symmetric: b = code * s = (v - OFFSET) * s
@@ -637,6 +661,7 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
     # MXFP4 flat-dot eligibility (see _make_flat_mx_kernel): scale folded into
     # the planes, ONE flat MXU dot, x stays 2D (no group reshape at all)
     mx_flat = (bool(getattr(meta, "mx_flat", 0))
+               and not getattr(meta, "mx_x2", 0)
                and not mx_fp8w and meta.W_nbits == 4
                and is_mx_dtype(DType(meta.input_dtype))
                and meta.W_group_mode == 2
@@ -659,7 +684,7 @@ def pallas_decode_matmul(x, W_q, scales, zeros, scales_x, meta,
         if mx_fp8w:
             w_codec = "fp8w5" if meta.w_code_dtype == DType.FP8e5.value else "fp8w"
         else:
-            w_codec = "fp4"
+            w_codec = "fp4x2" if getattr(meta, "mx_x2", 0) else "fp4"
         if has_scales:
             if scales.dtype == jnp.uint8:
                 scale_codec = "e8m0"

@@ -50,6 +50,17 @@ def _cdiv(a, b):
 # Kernel body factory
 # ---------------------------------------------------------------------------
 
+def _fp4x2_decode(c, md):
+    """x2-re-encoded fp4 codes (meta.mx_x2) -> doubled values: em==1 is the
+    zero marker, else (1 + m/2) * 2^e (quant.FP4X2_VALUES)."""
+    e = (c >> 1) & 3
+    m = (c & 1).astype(jnp.float32)
+    sgn = (c >> 3) & 1
+    mag = jnp.left_shift(1, e).astype(jnp.float32) * (1.0 + 0.5 * m)
+    mag = jnp.where((c & 7) == 1, 0.0, mag)
+    return jnp.where(sgn == 1, -mag, mag).astype(md)
+
+
 def _fp4_decode(c, md):
     """fp4-e2m1 codes (int) -> values, arithmetically (no gather/LUT):
     bits [s e1 e0 m]; e==0 -> 0.5*m (subnormal), else 2^(e-1) * (1 + m/2)."""
@@ -141,6 +152,8 @@ def _make_kernel(*, W_nbits, elems, W_group_mode, channel_scale_mode,
             b = w
         if w_codec == "fp4":
             b = _fp4_decode(b, jnp.float32 if meta_f32 else compute_jdtype)
+        elif w_codec == "fp4x2":
+            b = _fp4x2_decode(b, jnp.float32 if meta_f32 else compute_jdtype)
 
         # ---- dequantize (W_group_mode) ---------------------------------
         if W_group_mode > 0:
@@ -342,7 +355,7 @@ def pallas_fused_matmul(x, W_q, scales, zeros, scales_x, meta,
     scale_codec = None
     if is_mx_dtype(input_dtype):
         if meta.W_nbits == 4:
-            w_codec = "fp4"
+            w_codec = "fp4x2" if getattr(meta, "mx_x2", 0) else "fp4"
         if has_scales:
             if input_dtype == DType.NVFP4:
                 scale_codec = "nvfp4"

@@ -38,6 +38,7 @@ from .pallas_decode import (
     MAGIC16,
     OFFSET,
     _fp4_planes,
+    _fp4x2_planes,
     _fp8_planes,
     _halfword_mask,
     _effective_gs,
@@ -175,6 +176,9 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             elif w_codec == "fp4":
                 planes = _fp4_planes(w, n_planes, c, t_rows, bn_)
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
+            elif w_codec == "fp4x2":
+                planes = _fp4x2_planes(w, n_planes, c, t_rows, bn_)
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # 2x values
             elif w8_codes:
                 from .pallas_decode import _w8_planes
                 planes = _w8_planes(w, c, t_rows, bn_, False)      # TRUE codes
@@ -198,7 +202,8 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 # raw true-value codes (A8W8-FP8 post-scale: fp8 planes
                 # decode exactly; channel scales apply post-accumulation)
                 b = v.astype(cdt)
-            elif W_group_mode == 2 and w_codec in ("fp4", "fp8w", "fp8w5"):
+            elif W_group_mode == 2 and w_codec in ("fp4", "fp4x2",
+                                                    "fp8w", "fp8w5"):
                 # true-value planes: block scale only
                 b = v.astype(cdt) * meta_rows(s_ref, h)
             elif W_group_mode == 2:
@@ -348,7 +353,7 @@ def pallas_dequantize(W_q, scales, zeros, meta, interpret=None, W_lo=None):
         if mx_fp8w:
             w_codec = "fp8w5" if meta.w_code_dtype == DType.FP8e5.value else "fp8w"
         else:
-            w_codec = "fp4"
+            w_codec = "fp4x2" if getattr(meta, "mx_x2", 0) else "fp4"
         if scales is not None:
             if scales.dtype == jnp.uint8:
                 scale_codec = "e8m0"
@@ -607,7 +612,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         if mx_fp8w:
             w_codec = "fp8w5" if meta.w_code_dtype == DType.FP8e5.value else "fp8w"
         else:
-            w_codec = "fp4"
+            w_codec = "fp4x2" if getattr(meta, "mx_x2", 0) else "fp4"
         if has_scales:
             if scales.dtype == jnp.uint8:
                 scale_codec = "e8m0"

@@ -167,6 +167,37 @@ def fp4_dequant(idx, dtype=jnp.float32):
     return jnp.asarray(FP4_VALUES, dtype=dtype)[idx.astype(jnp.int32)]
 
 
+# x2-re-encoded fp4 (meta.mx_x2): codes 0<->1 swapped in the em field and
+# the block scale pre-divided by 2, so every NONZERO code decodes as the
+# bf16-normal (1 + m/2) * 2^e with e = em>>1 in 0..3 — a pure 2-op bit-field
+# insert in the decode kernels (_fp4x2_planes), no subnormal cascade. Code
+# em==1 is the zero marker (one 4-op mask). Exact: value' = 2 * fp4_value.
+FP4X2_VALUES = np.array(
+    [1.0, 0.0, 2.0, 3.0, 4.0, 6.0, 8.0, 12.0,
+     -1.0, -0.0, -2.0, -3.0, -4.0, -6.0, -8.0, -12.0],
+    dtype=np.float32,
+)
+
+
+def fp4x2_dequant(idx, dtype=jnp.float32):
+    """uint8 x2-re-encoded indices -> 2x fp4 float values (meta.mx_x2)."""
+    return jnp.asarray(FP4X2_VALUES, dtype=dtype)[idx.astype(jnp.int32)]
+
+
+def fp4x2_remap_packed(W_q_packed):
+    """Remap packed fp4 nibbles to the x2 encoding IN the packed int32
+    domain: flip bit0 of every nibble whose e bits (1..2) are zero — swaps
+    codes 0<->1 (and 8<->9) per sign, which is the whole re-encode (normals
+    keep their bits; the doubling comes from the new 2^e base). Position-
+    independent, so it commutes with plane folding (bitpack.py)."""
+    w = jnp.asarray(W_q_packed)
+    assert w.dtype == jnp.int32
+    u = w & 0x66666666                       # e bits of every nibble
+    t = (u | (u >> 1)) & 0x22222222          # bit1 set iff e != 0
+    flip = ((t ^ 0x22222222) >> 1) & 0x11111111
+    return w ^ flip
+
+
 def scale_activations_mxfp4(x):
     """MXFP4 dynamic quantization: gs=32, e8m0 scales, fp4 codebook indices
     packed 2 per byte (low nibble first). Returns (packed (..., K//2) uint8,

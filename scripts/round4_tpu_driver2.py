@@ -1,0 +1,144 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Second one-process real-chip session for round 4 (run AFTER
+round4_tpu_driver.py; everything in one process — the dev tunnel wedges
+~10 min per TPU process exit):
+
+  1. TPUCHECK (full) — the fp4x2 MXFP4 re-encode landed after driver 1's
+     sweep, so every dispatch path re-verifies on the real chip
+  2. MXFP4 fp4x2 decode/prefill perf vs the legacy codec (A/B)
+  3. W2 fused-projection probe (probe_w2_fused: N=4096 vs fused 8192/12288)
+  4. BENCH matrix regeneration (now measuring the fp4x2 MXFP4 rows)
+  5. bench.py headline x3 (ceiling-band evidence)
+
+Usage: python -u scripts/round4_tpu_driver2.py [--skip N]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def stage(n, title):
+    print(f"\n========== STAGE {n}: {title} ==========", flush=True)
+    return time.time()
+
+
+def main():
+    skip = 0
+    if "--skip" in sys.argv:
+        skip = int(sys.argv[sys.argv.index("--skip") + 1])
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    # -- 1: full TPUCHECK (post-fp4x2) --------------------------------------
+    if skip < 1:
+        t0 = stage(1, "full TPUCHECK sweep (fp4x2 codec live)")
+        import tpu_check
+        argv = sys.argv
+        sys.argv = ["tpu_check.py"]
+        try:
+            tpu_check.main()
+        except SystemExit as e:
+            if e.code:
+                print("TPUCHECK FAILED — aborting driver", flush=True)
+                raise
+        finally:
+            sys.argv = argv
+        print(f"stage 1 done in {time.time()-t0:.0f}s", flush=True)
+
+    # -- 2: fp4x2 vs legacy MXFP4 A/B ---------------------------------------
+    if skip < 2:
+        t0 = stage(2, "MXFP4 fp4x2 vs legacy codec A/B")
+        import numpy as np
+        import jax.numpy as jnp
+        import gemlite_tpu  # noqa: F401
+        from gemlite_tpu.core import forward_functional, set_mx_x2
+        from gemlite_tpu.mx import mxfp_quantize_layer_for_autotune
+        from gemlite_tpu import DType
+        from bench import timed_slopes
+
+        rng = np.random.default_rng(0)
+        lay = mxfp_quantize_layer_for_autotune(4096, 4096, DType.MXFP4, rng)
+        set_mx_x2(False)
+        try:
+            lay0 = mxfp_quantize_layer_for_autotune(4096, 4096, DType.MXFP4,
+                                                    np.random.default_rng(0))
+        finally:
+            set_mx_x2(True)
+        print("x2:", lay.mx_x2, " legacy flat:", lay0.mx_flat, flush=True)
+
+        def run(l):
+            meta = l.meta
+            tensors = tuple(l.get_tensor_args())
+
+            def f(xx, meta=meta, tensors=tensors):
+                return forward_functional(xx, None, list(tensors), meta)
+            return f
+
+        x1 = jnp.asarray(rng.normal(size=(1, 4096)) * 0.3, jnp.bfloat16)
+        x256 = jnp.asarray(rng.normal(size=(256, 4096)) * 0.3, jnp.bfloat16)
+        meta0b = lay0.meta._replace(mx_flat=0)
+        tensors0 = tuple(lay0.get_tensor_args())
+
+        def run_batched0(xx, meta=meta0b, tensors=tensors0):
+            return forward_functional(xx, None, list(tensors), meta)
+
+        # correctness first: x2 vs legacy on identical weights
+        y2 = np.asarray(run(lay)(x1), np.float32)
+        y0 = np.asarray(run(lay0)(x1), np.float32)
+        rel = np.abs(y2 - y0).mean() / (np.abs(y0).mean() + 1e-12)
+        print(f"x2 vs legacy M=1 rel = {rel:.2e}", flush=True)
+        assert rel < 2e-3, rel
+
+        sl = timed_slopes({"x2_m1": (run(lay), x1),
+                           "legacy_flat_m1": (run(lay0), x1),
+                           "legacy_batched_m1": (run_batched0, x1)}, 150, 600)
+        nbytes = 4096 * 4096 // 2 + (4096 // 32) * 4096 + 4096 * 2 + 4096 * 2
+        for k, dt in sl.items():
+            print(f"{k:18s} {dt*1e6:8.2f} us  {nbytes/dt/1e9:6.1f} GB/s",
+                  flush=True)
+        sl2 = timed_slopes({"x2_m256": (run(lay), x256),
+                            "legacy_m256": (run(lay0), x256)}, 40, 160)
+        for k, dt in sl2.items():
+            tf = 2 * 256 * 4096 * 4096 / dt / 1e12
+            print(f"{k:18s} {dt*1e6:8.2f} us  {tf:6.1f} TF", flush=True)
+        print(f"stage 2 done in {time.time()-t0:.0f}s", flush=True)
+
+    # -- 3: W2 fused-projection probe ---------------------------------------
+    if skip < 3:
+        t0 = stage(3, "W2 fused-projection probe")
+        import probe_w2_fused
+        probe_w2_fused.main()
+        print(f"stage 3 done in {time.time()-t0:.0f}s", flush=True)
+
+    # -- 4: bench matrix -----------------------------------------------------
+    if skip < 4:
+        t0 = stage(4, "BENCH_MATRIX regeneration (fp4x2 live)")
+        import bench_matrix
+        argv = sys.argv
+        sys.argv = ["bench_matrix.py", "--write-md", "--skip-check"]
+        try:
+            bench_matrix.main()
+        finally:
+            sys.argv = argv
+        print(f"stage 4 done in {time.time()-t0:.0f}s", flush=True)
+
+    # -- 5: headline bench x3 ------------------------------------------------
+    if skip < 5:
+        t0 = stage(5, "bench.py headline x3 (ceiling band)")
+        import bench as bench_mod
+        for i in range(3):
+            print(f"--- bench run {i+1} ---", flush=True)
+            bench_mod.main()
+        print(f"stage 5 done in {time.time()-t0:.0f}s", flush=True)
+
+    print("\nDRIVER2 COMPLETE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

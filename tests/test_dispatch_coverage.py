@@ -98,36 +98,49 @@ def test_dispatch_pin(label, builder, M, expect):
         f"— a routing regression would invalidate the committed numbers")
 
 
-def test_mx_flat_flag_and_equivalence():
-    """MXFP4 layers with in-range e8m0 scales get the flat-dot decode
-    (meta.mx_flat); its outputs must match the batched group-dot path
-    (mx_flat forced off) bit-for-bit at the oracle tolerance."""
+def test_mx_x2_default_and_legacy_flat_equivalence():
+    """MXFP4 pack now defaults to the x2 re-encode (meta.mx_x2, the 14-op
+    plane build); the legacy codec (x2 disabled) still gets the flat-dot
+    flag, and x2 / legacy-flat / legacy-batched all agree at the oracle
+    tolerance. Serialization keeps each layer's codec."""
+    from gemlite_tpu.core import set_mx_x2
     from gemlite_tpu.mx import A16W4_MXFP, mxfp_quantize_weight
     from gemlite_tpu.ops.pallas_decode import pallas_decode_matmul
     W = jnp.asarray(RNG.normal(size=(512, 1024)) * 0.02, jnp.bfloat16)
-    lay = A16W4_MXFP(dtype=jnp.bfloat16).from_weights(
-        *mxfp_quantize_weight(W, 4))
-    assert lay.mx_flat == 1
+    Wq, sc = mxfp_quantize_weight(W, 4)
+    lay = A16W4_MXFP(dtype=jnp.bfloat16).from_weights(Wq, sc)
+    assert lay.mx_x2 == 1 and lay.mx_flat == 0
+    set_mx_x2(False)
+    try:
+        lay0 = A16W4_MXFP(dtype=jnp.bfloat16).from_weights(Wq, sc)
+    finally:
+        set_mx_x2(True)
+    assert lay0.mx_x2 == 0 and lay0.mx_flat == 1
     x = jnp.asarray(RNG.normal(size=(1, 1024)) * 0.3, jnp.bfloat16)
-    y_flat = pallas_decode_matmul(x, lay.W_q, lay.scales, lay.zeros, None,
-                                  lay.meta)
-    y_batch = pallas_decode_matmul(x, lay.W_q, lay.scales, lay.zeros, None,
-                                   lay.meta._replace(mx_flat=0))
-    a = np.asarray(y_flat, np.float32)
-    b = np.asarray(y_batch, np.float32)
-    rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-12)
-    assert rel < 2e-3, rel
-    # serialization round-trip keeps the flag; legacy dicts re-scan
-    sd = lay.state_dict()
-    re = GemLiteLinear.__new__(GemLiteLinear)
-    re.bias = None
-    re.load_state_dict(sd)
-    assert re.mx_flat == 1
-    sd2 = dict(sd)
+    y_x2 = pallas_decode_matmul(x, lay.W_q, lay.scales, lay.zeros, None,
+                                lay.meta)
+    y_flat = pallas_decode_matmul(x, lay0.W_q, lay0.scales, lay0.zeros, None,
+                                  lay0.meta)
+    y_batch = pallas_decode_matmul(x, lay0.W_q, lay0.scales, lay0.zeros, None,
+                                   lay0.meta._replace(mx_flat=0))
+    a = np.asarray(y_x2, np.float32)
+    for other in (y_flat, y_batch):
+        b = np.asarray(other, np.float32)
+        rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-12)
+        assert rel < 2e-3, rel
+    # serialization round-trip keeps each codec; legacy dicts re-scan flat
+    for src, want_x2, want_flat in ((lay, 1, 0), (lay0, 0, 1)):
+        sd = src.state_dict()
+        re = GemLiteLinear.__new__(GemLiteLinear)
+        re.bias = None
+        re.load_state_dict(sd)
+        assert re.mx_x2 == want_x2 and re.mx_flat == want_flat
+    sd2 = dict(lay0.state_dict())
     sd2.pop("mx_flat", None)
     re2 = GemLiteLinear.__new__(GemLiteLinear)
     re2.bias = None
     re2.load_state_dict(sd2)
+    assert re2.mx_x2 == 0
     assert re2.mx_flat == 1  # re-scan of in-range e8m0 scales
 
 

@@ -231,3 +231,30 @@ def test_deep_k_aligned_slices():
     err = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32) - y_pl.astype(jnp.float32))))
     scale = float(jnp.mean(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
     assert err / scale < 5e-3, err / scale
+
+
+def test_fp4x2_codec_exhaustive():
+    """The packed-domain x2 remap (quant.fp4x2_remap_packed) composed with
+    the x2 codebook must reproduce exactly 2x the fp4 value for ALL 16
+    codes, at every nibble position of the int32 word."""
+    from gemlite_tpu.quant import (fp4_dequant, fp4x2_dequant,
+                                   fp4x2_remap_packed)
+    codes = np.arange(16, dtype=np.uint8)
+    v2 = 2.0 * np.asarray(fp4_dequant(jnp.asarray(codes)))
+    for pos in range(8):
+        w = np.uint32(0)
+        words = []
+        for c in codes:
+            words.append(np.uint32(c) << (4 * pos))
+        packed = jnp.asarray(np.asarray(words, np.uint32).astype(np.int64)
+                             & 0xFFFFFFFF, jnp.uint32).astype(jnp.int32)
+        remapped = np.asarray(fp4x2_remap_packed(packed)).astype(np.uint32)
+        rc = (remapped >> (4 * pos)) & 0xF
+        got = np.asarray(fp4x2_dequant(jnp.asarray(rc.astype(np.uint8))))
+        np.testing.assert_array_equal(got, v2)
+        # other nibbles stay zero -> remap to the zero MARKER (code 1),
+        # which still decodes to 0
+        others = np.asarray(fp4x2_dequant(jnp.asarray(
+            np.stack([(remapped >> (4 * p)) & 0xF
+                      for p in range(8) if p != pos]).astype(np.uint8))))
+        assert np.all(others == 0.0)
