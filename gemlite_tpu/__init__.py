@@ -23,6 +23,7 @@ from .core import (
     forward_functional,
     get_matmul_type,
     set_acc_dtype,
+    set_mx_x2,
     set_packing_bitwidth,
     GEMLITE_MATMUL_TYPES,
 )

@@ -49,6 +49,12 @@ def _candidate_grid(effort: str, M, N, K, group_size):
                       if b >= 128 and b <= max(128, M)})
         if effort != "max":
             bms = [min(2048, max(128, M))]
+            if 128 < M <= 1024:
+                # sub-M blocks: the m-innermost grid builds the dequant
+                # cache once per (j, k) block and sweeps M/bm dots over it,
+                # so bm=128 amortizes the build 2-8x — the mid-M lever
+                # (at M=256 the un-overlapped build is ~25% of the step)
+                bms.append(128)
     if effort == "max":
         bns = [256, 512, 1024, 2048, 4096]
         bks = [128, 256, 512, 1024, 2048, 4096]

@@ -116,9 +116,73 @@ def main():
         probe_w2_fused.main()
         print(f"stage 3 done in {time.time()-t0:.0f}s", flush=True)
 
-    # -- 4: bench matrix -----------------------------------------------------
+    # -- 4: mid-M sub-M-block probe ------------------------------------------
     if skip < 4:
-        t0 = stage(4, "BENCH_MATRIX regeneration (fp4x2 live)")
+        t0 = stage(4, "mid-M bm=128 build-amortization probe")
+        import numpy as np
+        import jax.numpy as jnp
+        import gemlite_tpu  # noqa: F401
+        from gemlite_tpu import DType, GemLiteLinear
+        from gemlite_tpu import config as cfg_mod
+        from gemlite_tpu.config import config_signature, store_config
+        from gemlite_tpu.ops.dispatch import autotune_type_id
+        from gemlite_tpu.ops.pallas_prefill import pallas_prefill_matmul
+        from gemlite_tpu.utils import m_bucket
+        from gemlite_tpu.autotune import _bench_call
+        import dataclasses
+
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "gemlite_tpu", "configs",
+            "v5_lite.json")
+        rng = np.random.default_rng(0)
+        for (N, K) in ((4096, 4096), (8192, 8192), (14336, 4096),
+                       (4096, 14336), (16384, 16384)):
+            W_q = rng.integers(0, 16, size=(N, K)).astype(np.uint8)
+            G = N * K // 128
+            scales = (rng.uniform(0.5, 1.5, (G, 1)) * 2.0**-8).astype(
+                np.float32)
+            zeros = rng.integers(0, 16, (G, 1)).astype(np.float32)
+            lay = GemLiteLinear(4, 128, K, N, DType.BF16, DType.BF16).pack(
+                W_q, scales, zeros)
+            meta = lay.meta
+            for M in (128, 256, 512):
+                sig = config_signature(m_bucket.get_closest_m(M), N, K, 128,
+                                       meta.elements_per_sample,
+                                       autotune_type_id(meta))
+                cur = cfg_mod.GEMLITE_TPU_CONFIG_CACHE.get(
+                    "GEMM", {}).get(sig)
+                if cur is None:
+                    print(f"{N}x{K} M={M}: no stored config, skip",
+                          flush=True)
+                    continue
+                x = jnp.asarray(rng.normal(size=(M, K)) * 0.1, jnp.bfloat16)
+                cands = {"stored": cur}
+                if M > 128 and cur.block_m != 128:
+                    cands["bm128"] = dataclasses.replace(cur, block_m=128)
+                times = {}
+                for name, c in cands.items():
+                    try:
+                        run = lambda xx, c=c: pallas_prefill_matmul(
+                            xx, lay.W_q, lay.scales, lay.zeros, None, meta, c)
+                        run(x)
+                        times[name] = _bench_call(run, x)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"  {name} failed: {str(e)[:80]}", flush=True)
+                if not times:
+                    continue
+                best = min(times, key=times.get)
+                tf = 2 * M * N * K / times[best] / 1e12
+                print(f"{N}x{K} M={M}: " + "  ".join(
+                    f"{n}={t*1e6:.1f}us" for n, t in times.items())
+                    + f"  -> {best} ({tf:.1f} TF)", flush=True)
+                if best != "stored":
+                    store_config("GEMM", sig, cands[best])
+        cfg_mod.cache_config(out)
+        print(f"stage 4 done in {time.time()-t0:.0f}s", flush=True)
+
+    # -- 5: bench matrix -----------------------------------------------------
+    if skip < 5:
+        t0 = stage(5, "BENCH_MATRIX regeneration (fp4x2 live)")
         import bench_matrix
         argv = sys.argv
         sys.argv = ["bench_matrix.py", "--write-md", "--skip-check"]
@@ -128,14 +192,14 @@ def main():
             sys.argv = argv
         print(f"stage 4 done in {time.time()-t0:.0f}s", flush=True)
 
-    # -- 5: headline bench x3 ------------------------------------------------
-    if skip < 5:
-        t0 = stage(5, "bench.py headline x3 (ceiling band)")
+    # -- 6: headline bench x3 ------------------------------------------------
+    if skip < 6:
+        t0 = stage(6, "bench.py headline x3 (ceiling band)")
         import bench as bench_mod
         for i in range(3):
             print(f"--- bench run {i+1} ---", flush=True)
             bench_mod.main()
-        print(f"stage 5 done in {time.time()-t0:.0f}s", flush=True)
+        print(f"stage 6 done in {time.time()-t0:.0f}s", flush=True)
 
     print("\nDRIVER2 COMPLETE", flush=True)
 
