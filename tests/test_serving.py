@@ -308,3 +308,26 @@ def test_spec_draft_cache_has_no_hole_after_full_acceptance():
     # positions plen .. plen+g must all be written in the draft cache
     rows = np.asarray(eng.draft_kv)[0, 0, 0, plen:plen + g + 1]
     assert (np.abs(rows).sum(axis=(1, 2)) > 0).all()
+
+
+def test_engine_with_fused_projections(model):
+    """The serving engine must produce IDENTICAL tokens when the model is
+    quantized with fuse=True (wqkv / gate_up single layers): fused
+    quantization is value-identical (groups run along K), so greedy decode
+    must not change."""
+    params, cfg = model
+    fused = quantize_llama(init_llama(cfg, seed=0), W_nbits=4, group_size=32,
+                           fuse=True)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n).tolist()
+               for n in (4, 11)]
+    n_new = 5
+    want = [reference_generate(params, cfg, p, n_new) for p in prompts]
+    eng = ContinuousBatchingEngine(fused, cfg, max_batch=2,
+                                   prefill_buckets=(8, 16, 32))
+    for p in prompts:
+        eng.submit(Request(prompt_tokens=p, max_new_tokens=n_new))
+    results = eng.run()
+    got = {tuple(r.prompt_tokens): r.output_tokens for r in results}
+    for p, w in zip(prompts, want):
+        assert got[tuple(p)] == w, (p, got[tuple(p)], w)
