@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--nbits", type=int, default=4)
     ap.add_argument("--gs", type=int, default=64)
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse q/k/v -> wqkv and gate/up -> gate_up "
+                         "(one wide kernel call per group; same numerics)")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +38,8 @@ def main():
           f"W{args.nbits} gs={args.gs}")
 
     params = quantize_llama(init_llama(cfg, seed=0),
-                            W_nbits=args.nbits, group_size=args.gs)
+                            W_nbits=args.nbits, group_size=args.gs,
+                            fuse=args.fuse)
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 32)), jnp.int32)
