@@ -104,7 +104,9 @@ def _fp4x2_planes(w, n_planes, c, t_rows, bn):
         bits = (n << 6) + 0x3F803F80             # (1+m/2) * 2^e
         d = n ^ 0x00010001                       # 0 iff zero marker
         nz = (d + 0x00070007) & 0x00080008       # bit3 set iff nonzero
-        bits = bits & ((nz >> 3) * 0xFFFF)
+        # nz * 0x1FFF = 0xFFF8 per nonzero half; bits' low 3 bits are
+        # always clear, so the unshifted product masks exactly
+        bits = bits & (nz * 0x1FFF)
         bits = bits | ((t & 0x00080008) << 12)
         planes.append(pltpu.bitcast(bits, jnp.bfloat16).reshape(c, t_rows, bn))
     return planes
