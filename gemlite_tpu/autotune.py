@@ -101,28 +101,35 @@ def _vmem_ok(meta, cfg: KernelConfig) -> bool:
     return total <= VMEM_BUDGET
 
 
-def _bench_call(fn, x, n1=100, n2=400, repeats=3):
-    """Per-call seconds via chained fori_loop slope (overhead cancels)."""
+def _bench_call(fn, x, n1=100, n2=400, repeats=3, consts=()):
+    """Per-call seconds via chained fori_loop slope (overhead cancels).
+
+    ``consts``: weight/meta arrays the candidate needs — they ride as jit
+    ARGUMENTS, never as closure constants: a closed-over array is embedded
+    into the compiled program as a literal, which at 32768^2 means
+    serializing ~1 GB through the compile path PER CANDIDATE (the round-4
+    stage-4 wedge; bench.py learned the same lesson in its allocation
+    sampling). fn is called as fn(xx, *consts)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def loop(x, n):
+    def loop(x, consts, n):
         def body(i, c):
             xx = x + (c * jnp.asarray(1e-30, jnp.float32)).astype(x.dtype)
-            y = fn(xx)
+            y = fn(xx, *consts)
             # consume the FULL output: a [0] slice lets XLA DCE
             # most of the pure-XLA fallback candidate, biasing the
             # fused-vs-fallback comparison (Pallas calls are opaque)
             return jnp.sum(y.astype(jnp.float32)) * 1e-12
         return lax.fori_loop(0, n, body, jnp.float32(0))
 
-    float(loop(x, n2))  # compile + warm
+    float(loop(x, tuple(consts), n2))  # compile + warm
     best = {}
     for n in (n1, n2) * repeats:
         t0 = time.perf_counter()
-        float(loop(x, n))
+        float(loop(x, tuple(consts), n))
         best[n] = min(best.get(n, 1e9), time.perf_counter() - t0)
     return (best[n2] - best[n1]) / (n2 - n1)
 
@@ -178,11 +185,12 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
         for cfg in cands:
             if cfg.route == "fallback":
                 from .ops.dispatch import _dense_fallback_matmul
-                run = lambda xx: _dense_fallback_matmul(
-                    xx, layer.W_q, layer.scales, layer.zeros, None, meta)
+                run = lambda xx, W, sc, z: _dense_fallback_matmul(
+                    xx, W, sc, z, None, meta)
+                cargs = (layer.W_q, layer.scales, layer.zeros)
                 try:
-                    run(x)
-                    dt = _bench_call(run, x)
+                    run(x, *cargs)
+                    dt = _bench_call(run, x, consts=cargs)
                 except Exception as e:
                     if verbose:
                         logger.info("fallback rejected: %s", str(e)[:80])
@@ -199,43 +207,43 @@ def autotune_layer(layer, batch_sizes=(1, 8, 32, 128, 512), effort=None,
             # timed on a kernel dispatch would not run for it makes the
             # table entry meaningless (or worse than the heuristic)
             xb = x
+            cargs = (layer.W_q, layer.scales, layer.zeros)
             if M <= 64 and is_int8:
                 if can_use_int8_decode(meta, M, N, K, cfg):
-                    run = lambda xx, c=cfg: pallas_int8_decode(
-                        xx, layer.W_q, layer.scales, layer.zeros, sx_ones,
-                        meta, c)
+                    run = lambda xx, W, sc, z, sx, c=cfg: pallas_int8_decode(
+                        xx, W, sc, z, sx, meta, c)
+                    cargs = cargs + (sx_ones,)
                     xb = x_i8
                 elif int8_heur_ok:
                     # dispatch would ignore this cfg and run the heuristic
                     # int8 config instead — nothing meaningful to measure
                     continue
                 elif can_use_decode_kernel(meta, M, N, K, cfg):
-                    run = lambda xx, c=cfg: pallas_decode_matmul(
-                        xx, layer.W_q, layer.scales, layer.zeros, None,
-                        meta, c)
+                    run = lambda xx, W, sc, z, c=cfg: pallas_decode_matmul(
+                        xx, W, sc, z, None, meta, c)
                 else:
                     continue
             elif M <= 64 and can_use_decode_kernel(meta, M, N, K, cfg):
-                run = lambda xx, c=cfg: pallas_decode_matmul(
-                    xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
+                run = lambda xx, W, sc, z, c=cfg: pallas_decode_matmul(
+                    xx, W, sc, z, None, meta, c)
             elif can_use_prefill_kernel(meta, M, N, K, cfg):
                 # dispatch tries the prefill kernel both in the prefill
                 # regime and as the M <= 64 fallback (NVFP4)
-                run = lambda xx, c=cfg: pallas_prefill_matmul(
-                    xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
+                run = lambda xx, W, sc, z, c=cfg: pallas_prefill_matmul(
+                    xx, W, sc, z, None, meta, c)
             elif M >= 4096:
                 # dispatch's giant-M branch only honors prefill-kernel
                 # configs (+ the fallback route) — timing any other kernel
                 # here would store a config dispatch can't reproduce
                 continue
             elif can_use_pallas(meta, M, N, K, cfg) and cfg.block_m >= 8:
-                run = lambda xx, c=cfg: pallas_fused_matmul(
-                    xx, layer.W_q, layer.scales, layer.zeros, None, meta, c)
+                run = lambda xx, W, sc, z, c=cfg: pallas_fused_matmul(
+                    xx, W, sc, z, None, meta, c)
             else:
                 continue
             try:
-                run(xb)  # compile check
-                dt = _bench_call(run, xb)
+                run(xb, *cargs)  # compile check
+                dt = _bench_call(run, xb, consts=cargs)
             except Exception as e:  # config rejected by Mosaic
                 if verbose:
                     logger.info("cfg %s rejected: %s", cfg, str(e)[:80])

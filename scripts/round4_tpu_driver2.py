@@ -135,8 +135,9 @@ def main():
             os.path.abspath(__file__))), "gemlite_tpu", "configs",
             "v5_lite.json")
         rng = np.random.default_rng(0)
+        from gemlite_tpu.ops.pallas_prefill import select_prefill_config
         for (N, K) in ((4096, 4096), (8192, 8192), (14336, 4096),
-                       (4096, 14336), (16384, 16384)):
+                       (4096, 14336), (16384, 16384), (32768, 32768)):
             W_q = rng.integers(0, 16, size=(N, K)).astype(np.uint8)
             G = N * K // 128
             scales = (rng.uniform(0.5, 1.5, (G, 1)) * 2.0**-8).astype(
@@ -151,21 +152,25 @@ def main():
                                        autotune_type_id(meta))
                 cur = cfg_mod.GEMLITE_TPU_CONFIG_CACHE.get(
                     "GEMM", {}).get(sig)
+                stored = cur is not None
                 if cur is None:
-                    print(f"{N}x{K} M={M}: no stored config, skip",
-                          flush=True)
-                    continue
+                    # untuned signature (the 32768^2 bucket the round-4
+                    # stage-4 wedge skipped): A/B from the heuristic
+                    cur = select_prefill_config(meta, M, N, K)
+                if N >= 32768 and M != 256:
+                    continue  # only the BENCH_MATRIX point at this size
                 x = jnp.asarray(rng.normal(size=(M, K)) * 0.1, jnp.bfloat16)
                 cands = {"stored": cur}
                 if M > 128 and cur.block_m != 128:
                     cands["bm128"] = dataclasses.replace(cur, block_m=128)
                 times = {}
+                cargs = (lay.W_q, lay.scales, lay.zeros)
                 for name, c in cands.items():
                     try:
-                        run = lambda xx, c=c: pallas_prefill_matmul(
-                            xx, lay.W_q, lay.scales, lay.zeros, None, meta, c)
-                        run(x)
-                        times[name] = _bench_call(run, x)
+                        run = lambda xx, W, sc, z, c=c: pallas_prefill_matmul(
+                            xx, W, sc, z, None, meta, c)
+                        run(x, *cargs)
+                        times[name] = _bench_call(run, x, consts=cargs)
                     except Exception as e:  # noqa: BLE001
                         print(f"  {name} failed: {str(e)[:80]}", flush=True)
                 if not times:
@@ -175,8 +180,28 @@ def main():
                 print(f"{N}x{K} M={M}: " + "  ".join(
                     f"{n}={t*1e6:.1f}us" for n, t in times.items())
                     + f"  -> {best} ({tf:.1f} TF)", flush=True)
-                if best != "stored":
+                if best != "stored" or not stored:
                     store_config("GEMM", sig, cands[best])
+        from gemlite_tpu.autotune import autotune_shapes, autotune_layer
+        from gemlite_tpu import config as cfg_mod2
+        from gemlite_tpu.dtypes import DType as DT
+        out2 = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "gemlite_tpu", "configs",
+            "v5_lite.json")
+        import numpy as _np
+        print("=== MXFP4 4096x4096 decode+prefill ===", flush=True)
+        autotune_shapes([(4096, 4096)], input_dtype=DT.MXFP4,
+                        batch_sizes=(1, 16, 256), effort="fast", verbose=True)
+        print("=== A8W8-FP8 4096x4096 decode ===", flush=True)
+        from gemlite_tpu.helper import A8W8_fp8_dynamic
+        Wf = _np.random.default_rng(0).normal(
+            size=(4096, 4096)).astype(_np.float32) * 0.02
+        lay8 = A8W8_fp8_dynamic().from_weights(Wf, None)
+        autotune_layer(lay8, batch_sizes=(1, 16, 64), effort="fast",
+                       verbose=True)
+        cfg_mod2.cache_config(out2)
+        n = sum(len(v) for v in cfg_mod2.GEMLITE_TPU_CONFIG_CACHE.values())
+        print(f"wrote {out2} ({n} entries)", flush=True)
         cfg_mod.cache_config(out)
         print(f"stage 4 done in {time.time()-t0:.0f}s", flush=True)
 
@@ -190,7 +215,7 @@ def main():
             bench_matrix.main()
         finally:
             sys.argv = argv
-        print(f"stage 4 done in {time.time()-t0:.0f}s", flush=True)
+        print(f"stage 5 done in {time.time()-t0:.0f}s", flush=True)
 
     # -- 6: headline bench x3 ------------------------------------------------
     if skip < 6:
