@@ -56,7 +56,10 @@ def main():
         tensors = tuple(lay.get_tensor_args())
 
         def run(xx, meta=meta, tensors=tensors):
-            return forward_functional(xx, None, list(tensors), meta)
+            # slice back to K columns: timed_slopes chains x + fn(x), which
+            # needs an x-shaped result; the Pallas call is opaque so the
+            # slice cannot DCE any kernel work
+            return forward_functional(xx, None, list(tensors), meta)[:, :K]
 
         jax.block_until_ready(jax.jit(run)(x))
         fns[f"W{nb} N={N}"] = (jax.jit(run), x)

@@ -124,7 +124,8 @@ def main():
         import gemlite_tpu  # noqa: F401
         from gemlite_tpu import DType, GemLiteLinear
         from gemlite_tpu import config as cfg_mod
-        from gemlite_tpu.config import config_signature, store_config
+        from gemlite_tpu.config import (config_signature, store_config,
+                                        lookup_config)
         from gemlite_tpu.ops.dispatch import autotune_type_id
         from gemlite_tpu.ops.pallas_prefill import pallas_prefill_matmul
         from gemlite_tpu.utils import m_bucket
@@ -150,8 +151,7 @@ def main():
                 sig = config_signature(m_bucket.get_closest_m(M), N, K, 128,
                                        meta.elements_per_sample,
                                        autotune_type_id(meta))
-                cur = cfg_mod.GEMLITE_TPU_CONFIG_CACHE.get(
-                    "GEMM", {}).get(sig)
+                cur = lookup_config("GEMM", sig)
                 stored = cur is not None
                 if cur is None:
                     # untuned signature (the 32768^2 bucket the round-4
