@@ -244,7 +244,7 @@ def main():
 
         host = [np.asarray(a) for a in layer.get_tensor_args()]
         best_alloc, best_dt = None, None
-        for _ in range(3):
+        for _ in range(5):
             tt = tuple(jnp.asarray(a) for a in host)
             float(floop(x, tt, 400))  # compile (first trial) + warm
             b = {}

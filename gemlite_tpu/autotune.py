@@ -48,13 +48,13 @@ def _candidate_grid(effort: str, M, N, K, group_size):
         bms = sorted({min(b, 2048) for b in (128, 256, 512, M)
                       if b >= 128 and b <= max(128, M)})
         if effort != "max":
+            # whole-M only: sub-M blocks (bm=128 at M in {256,512}) measured
+            # ~2x SLOWER across every BASELINE shape on v5e (round-4 driver2
+            # stage 4: 67.2 vs 114.7 us at 4096^2 M=256, same pattern at
+            # 8192^2/14336/16384^2/32768^2) — the m-innermost grid already
+            # builds the dequant cache once per (j, k) block, and smaller bm
+            # only adds grid-step overhead
             bms = [min(2048, max(128, M))]
-            if 128 < M <= 1024:
-                # sub-M blocks: the m-innermost grid builds the dequant
-                # cache once per (j, k) block and sweeps M/bm dots over it,
-                # so bm=128 amortizes the build 2-8x — the mid-M lever
-                # (at M=256 the un-overlapped build is ~25% of the step)
-                bms.append(128)
     if effort == "max":
         bns = [256, 512, 1024, 2048, 4096]
         bks = [128, 256, 512, 1024, 2048, 4096]
