@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def build_quantized_llama(cfg, W_nbits=4, group_size=128, seed=0):
+def build_quantized_llama(cfg, W_nbits=4, group_size=128, seed=0,
+                          fuse=False):
     """Random packed-W4 Llama params at full size, built layer by layer.
 
     The layer STRUCTURE (pack() metadata, small scales/zeros) is built on the
@@ -71,10 +72,19 @@ def build_quantized_llama(cfg, W_nbits=4, group_size=128, seed=0):
     # One template layer per unique shape, SHARED across blocks: HBM read
     # traffic — the thing being measured — is identical whether buffers are
     # shared or unique (no inter-layer cache on TPU).
-    tmpl = {
-        (QD, H): qlayer(QD, H, next(keys)), (KD, H): qlayer(KD, H, next(keys)),
-        (I, H): qlayer(I, H, next(keys)), (H, I): qlayer(H, I, next(keys)),
-    }
+    if fuse:
+        # fused projections (quantize_llama(fuse=True) layout): one wqkv
+        # call (QD+2KD, H) and one gate_up call (2I, H) per block
+        tmpl = {
+            (QD + 2 * KD, H): qlayer(QD + 2 * KD, H, next(keys)),
+            (2 * I, H): qlayer(2 * I, H, next(keys)),
+            (H, I): qlayer(H, I, next(keys)),
+        }
+    else:
+        tmpl = {
+            (QD, H): qlayer(QD, H, next(keys)), (KD, H): qlayer(KD, H, next(keys)),
+            (I, H): qlayer(I, H, next(keys)), (H, I): qlayer(H, I, next(keys)),
+        }
     if (H, QD) not in tmpl:
         # wo is (H, QD); only materialize a separate template when the
         # shape is genuinely new (QD != H)
@@ -91,12 +101,17 @@ def build_quantized_llama(cfg, W_nbits=4, group_size=128, seed=0):
 
     blocks = []
     for li in range(cfg.num_layers):
+        if fuse:
+            attn = {"wqkv": tmpl[(QD + 2 * KD, H)], "wo": tmpl[(H, QD)]}
+            mlp = {"gate_up": tmpl[(2 * I, H)], "down": tmpl[(H, I)]}
+        else:
+            attn = {"wq": tmpl[(QD, H)], "wk": tmpl[(KD, H)],
+                    "wv": tmpl[(KD, H)], "wo": tmpl[(H, QD)]}
+            mlp = {"gate": tmpl[(I, H)], "up": tmpl[(I, H)],
+                   "down": tmpl[(H, I)]}
         blocks.append({
-            "attn": {"wq": tmpl[(QD, H)], "wk": tmpl[(KD, H)],
-                     "wv": tmpl[(KD, H)], "wo": tmpl[(H, QD)],
-                     },
-            "mlp": {"gate": tmpl[(I, H)], "up": tmpl[(I, H)],
-                    "down": tmpl[(H, I)]},
+            "attn": attn,
+            "mlp": mlp,
             "ln_attn": ln,
             "ln_mlp": ln,
         })
@@ -110,6 +125,11 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=512)
+    ap.add_argument("--nbits", type=int, default=4)
+    ap.add_argument("--gs", type=int, default=128)
+    ap.add_argument("--fuse", action="store_true",
+                    help="fused wqkv/gate_up projections (2 calls per "
+                         "block group instead of 3/2)")
     args = ap.parse_args()
 
     import jax
@@ -124,12 +144,14 @@ def main():
                       max_seq_len=args.max_seq)
     n_params = cfg.num_layers * (
         2 * 4096 * 4096 + 2 * 1024 * 4096 + 3 * 4096 * 14336)
-    print(f"# Llama-8B-geometry W4 gs=128: {cfg.num_layers} layers, "
+    print(f"# Llama-8B-geometry W{args.nbits} gs={args.gs}"
+          f"{' FUSED' if args.fuse else ''}: {cfg.num_layers} layers, "
           f"{n_params/1e9:.1f}B block params "
-          f"(~{n_params/2/1e9:.1f} GB packed)", flush=True)
+          f"(~{n_params*args.nbits/8/1e9:.1f} GB packed)", flush=True)
 
     t0 = time.perf_counter()
-    params = build_quantized_llama(cfg)
+    params = build_quantized_llama(cfg, W_nbits=args.nbits,
+                                   group_size=args.gs, fuse=args.fuse)
     print(f"# build+pack: {time.perf_counter()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)
