@@ -187,6 +187,12 @@ def main():
     rows.append(bench_point("MXFP4 (A16)", l, 256))
     del l
 
+    # --- MXFP8 (fp8 bit codes + e8m0 gs=32 scales, nosub plane path) -------
+    l = mxfp_quantize_layer_for_autotune(4096, 4096, DType.MXFP8, rng)
+    rows.append(bench_point("MXFP8 (A16)", l, 1))
+    rows.append(bench_point("MXFP8 (A16)", l, 256))
+    del l
+
     if args.write_md:
         md = ["# BENCH_MATRIX — BASELINE.md config sweep (one real-chip session)",
               "",
