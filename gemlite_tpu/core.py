@@ -164,7 +164,7 @@ class LayerMeta(NamedTuple):
     # x2 codebook (quant.fp4x2_remap_packed: codes 0<->1 swapped, e8m0 scale
     # exponents pre-decremented): every nonzero code then decodes as the
     # bf16 NORMAL (1+m/2)*2^e via a single field insert (_fp4x2_planes,
-    # 14 VPU ops/pair vs the 19-op subnormal-aware _fp4_planes) — the fp4
+    # 13 VPU ops/pair vs the 19-op subnormal-aware _fp4_planes) — the fp4
     # plane build is the whole MXFP4 decode cost at M=1
     mx_x2: int = 0
 
@@ -483,7 +483,11 @@ class GemLiteLinear:
                 and self.scales.dtype == jnp.uint8
                 and jnp.asarray(self.W_q).dtype == jnp.int32):
             e = np.asarray(self.scales)
-            if e.size and int(e.min()) >= 1:
+            # E >= 2 so the decremented exponent stays >= 1: every e8m0
+            # decoder (quant.e8m0_bits_to_f32 and the in-kernel
+            # shift_left(srows, 23) bitcast) decodes exponent 0 as f32 0.0,
+            # so a pre-decremented E' = 0 would silently zero the group.
+            if e.size and int(e.min()) >= 2:
                 # scales fold here; the nibble remap runs AFTER the plane
                 # fold below (the fold repacks from the pre-remap codes_2d)
                 self.scales = jnp.asarray(e - 1, dtype=jnp.uint8)
@@ -502,6 +506,7 @@ class GemLiteLinear:
             e = np.asarray(self.scales)
             if e.size and 16 <= int(e.min()) and int(e.max()) <= 235:
                 self.mx_flat = 1
+        self._upgrade_fp8_nosub()
 
         if self.scales is not None:
             self.meta_dtype = JAX_TO_DTYPE[jnp.dtype(self.scales.dtype)] \
@@ -759,7 +764,22 @@ class GemLiteLinear:
                 e = np.asarray(self.scales)
                 if e.size and 16 <= int(e.min()) and int(e.max()) <= 235:
                     self.mx_flat = 1
+        self._upgrade_fp8_nosub()
         return self
+
+    def _upgrade_fp8_nosub(self):
+        """Upgrade fp8_nosub 1 -> 2 when the layer's e8m0 block-scale
+        exponents allow the prefill kernel's scaled-fold fast build: every
+        E in [1, 254 - gap] keeps the biased decode 2^(E - 127 + gap) a
+        finite f32/bf16 normal (E = 0 decodes to 0.0; E + gap = 255 would
+        decode to inf). Value 2 implies 1 (decode kernels test truthiness)."""
+        if (getattr(self, "fp8_nosub", 0) == 1 and self.W_group_mode == 2
+                and self.scales is not None
+                and self.scales.dtype == jnp.uint8):
+            gap = 112 if self.w_code_dtype == DType.FP8e5.value else 120
+            e = np.asarray(self.scales)
+            if e.size and int(e.min()) >= 1 and int(e.max()) <= 254 - gap:
+                self.fp8_nosub = 2
 
     def save(self, path: str):
         import json

@@ -130,7 +130,12 @@ def paged_decode_attention(q, kv: PagedKV, layer_idx: int, lengths):
     reference."""
     k_pages = kv.pages[layer_idx, 0]
     v_pages = kv.pages[layer_idx, 1]
-    if jax.default_backend() != "tpu":
+    # real-chip lowering gate (probed on v5e, scripts/probe_paged_kernel.py):
+    # the jax-shipped kernel lowers + matches the reference for head_dim
+    # multiples of 128 (all Llama-8B-geometry slot counts PASS); head_dim 64
+    # fails Mosaic's (8, 128) block alignment on its m/l scratch outputs.
+    # Small-head models take the XLA gather reference path instead.
+    if jax.default_backend() != "tpu" or q.shape[-1] % 128:
         return _decode_attention_ref(q, k_pages, v_pages, lengths, kv.table,
                                      kv.page_size)
     from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention

@@ -48,12 +48,17 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 def mxfp_quantize_weight(W, W_nbits: int, fp8_dtype=jnp.float8_e4m3fn,
-                         nvfp4: bool = False, window_size: int = 0):
+                         nvfp4: bool = False, window_size: int = 0,
+                         flush_subnormals: bool = True):
     """float (N, K) -> (W_q, scales) in MX storage form.
 
     MXFP8: W_q fp8 (N, K), scales e8m0 (N, K//32).
     MXFP4: W_q uint8 fp4 codes (N, K), scales e8m0 (N, K//32).
-    NVFP4: W_q uint8 fp4 codes (N, K), scales fp8-e4m3 (N, K//16)."""
+    NVFP4: W_q uint8 fp4 codes (N, K), scales fp8-e4m3 (N, K//16).
+
+    flush_subnormals (MXFP8 only): round fp8-subnormal codes to
+    {0, +-min_normal} so pack() selects the 3-op nosub decode path; pass
+    False for reference-identical stored codes."""
     W = jnp.asarray(np.asarray(W))
     N, K = W.shape
     q = WeightQuantizerMXFP(compute_dtype=jnp.float32)
@@ -61,7 +66,8 @@ def mxfp_quantize_weight(W, W_nbits: int, fp8_dtype=jnp.float8_e4m3fn,
         W_q, scales = q.quantize_nvfp4(W, window_size=window_size, index=True)
         gs = 16
     elif W_nbits == 8:
-        W_q, scales = q.quantize_mxfp8(W, index=True, mx_fp8_dtype=fp8_dtype)
+        W_q, scales = q.quantize_mxfp8(W, index=True, mx_fp8_dtype=fp8_dtype,
+                                       flush_subnormals=flush_subnormals)
         gs = 32
     elif W_nbits == 4:
         W_q, scales = q.quantize_mxfp4(W, window_size=window_size, index=True)
@@ -222,10 +228,16 @@ def _wb(layer_or_w, bias):
 
 
 class A16Wn_MXFP:
-    """Weight-only MXFP8/MXFP4: activations stay fp16/bf16."""
+    """Weight-only MXFP8/MXFP4: activations stay fp16/bf16.
+
+    flush_subnormals (MXFP8 only): True (default) rounds fp8-subnormal weight
+    codes at quantize time so the fast nosub decode serves the layer; pass
+    False for reference-identical stored codes (helper.py A16W8 documents the
+    same trade-off)."""
 
     def __init__(self, device=None, dtype=None, W_nbits=None,
-                 fp8=jnp.float8_e4m3fn):
+                 fp8=jnp.float8_e4m3fn, flush_subnormals=True):
+        self.flush_subnormals = flush_subnormals
         self.device = device
         self.dtype = dtype if dtype is not None else jnp.bfloat16
         self.W_nbits = W_nbits
@@ -238,14 +250,18 @@ class A16Wn_MXFP:
     def from_linear(self, linear_layer, del_orig=True):
         from .helper import _weight_bias_of, cleanup_linear
         w, bias = _weight_bias_of(linear_layer)
-        W_q, scales = mxfp_quantize_weight(w, self.W_nbits, self.mx_fp8_dtype)
+        W_q, scales = mxfp_quantize_weight(
+            w, self.W_nbits, self.mx_fp8_dtype,
+            flush_subnormals=self.flush_subnormals)
         cleanup_linear(linear_layer, del_orig)
         return self.from_weights(W_q, scales, bias)
 
 
 class A16W8_MXFP(A16Wn_MXFP):
-    def __init__(self, device=None, dtype=None, fp8=jnp.float8_e4m3fn):
-        super().__init__(device, dtype, W_nbits=8, fp8=fp8)
+    def __init__(self, device=None, dtype=None, fp8=jnp.float8_e4m3fn,
+                 flush_subnormals=True):
+        super().__init__(device, dtype, W_nbits=8, fp8=fp8,
+                         flush_subnormals=flush_subnormals)
 
 
 class A16W4_MXFP(A16Wn_MXFP):
@@ -261,13 +277,15 @@ class A8Wn_MXFP_dynamic:
     (channel_scale_mode 2). Reference helper.py:732-806."""
 
     def __init__(self, device=None, dtype=None, post_scale=True, fp8=jnp.float8_e4m3fn,
-                 W_nbits=None):
+                 W_nbits=None, flush_subnormals=True):
         assert W_nbits in (4, 8)
         self.device = device
         self.dtype = dtype if dtype is not None else jnp.bfloat16
         self.mx_fp8_dtype = fp8
         self.post_scale = post_scale
         self.W_nbits = W_nbits
+        # MXFP8 weights only: False keeps reference-identical stored codes
+        self.flush_subnormals = flush_subnormals
 
     def from_weights(self, weight, bias=None, scales=None):
         assert scales is not None, "Pre-quantized weights+scales required; use from_linear()."
@@ -282,14 +300,18 @@ class A8Wn_MXFP_dynamic:
     def from_linear(self, linear_layer, del_orig=True):
         from .helper import _weight_bias_of, cleanup_linear
         w, bias = _weight_bias_of(linear_layer)
-        W_q, scales = mxfp_quantize_weight(w, self.W_nbits, self.mx_fp8_dtype)
+        W_q, scales = mxfp_quantize_weight(
+            w, self.W_nbits, self.mx_fp8_dtype,
+            flush_subnormals=self.flush_subnormals)
         cleanup_linear(linear_layer, del_orig)
         return self.from_weights(W_q, bias=bias, scales=scales)
 
 
 class A8W8_MXFP_dynamic(A8Wn_MXFP_dynamic):
-    def __init__(self, device=None, dtype=None, post_scale=True, fp8=jnp.float8_e4m3fn):
-        super().__init__(device, dtype, post_scale, fp8, W_nbits=8)
+    def __init__(self, device=None, dtype=None, post_scale=True, fp8=jnp.float8_e4m3fn,
+                 flush_subnormals=True):
+        super().__init__(device, dtype, post_scale, fp8, W_nbits=8,
+                         flush_subnormals=flush_subnormals)
 
 
 class A8W4_MXFP_dynamic(A8Wn_MXFP_dynamic):

@@ -94,7 +94,7 @@ def _fp4x2_planes(w, n_planes, c, t_rows, bn):
     the em field + e8m0 scale fold E-1, quant.fp4x2_remap_packed): every
     NONZERO code decodes as the bf16 NORMAL (1+m/2)*2^e, e in 0..3, via a
     single field insert — no subnormal cascade. em==1 marks zero (4-op
-    mask). 14 VPU ops/pair vs _fp4_planes' 19: the fp4 build is the decode
+    mask). 13 VPU ops/pair vs _fp4_planes' 19: the fp4 build is the decode
     bottleneck at M=1 (42us vs int-W4's 13us at 4096^2 in round 4 stage 3),
     so the build op count IS the MXFP4 decode time."""
     planes = []

@@ -68,6 +68,19 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
     # 8-bit integer codes: 4 full-lane BYTE planes via the f32 exponent
     # trick (offset-free TRUE codes, _w8_planes; w_layout=2 fold)
     w8_codes = w_codec is None and W_nbits == 8
+    # subnormal-free fp8 weights under an e8m0 block scale (fp8_nosub == 2:
+    # the pack-time scan ALSO proved every scale exponent E satisfies
+    # 1 <= E <= 254 - gap): use the 3-op "scaled" raw-exponent planes
+    # (v * 2**-gap) and fold the 2**gap back by biasing the e8m0 scale
+    # decode — shift_left(E + gap, 23) — a zero-cost exponent add on the
+    # tiny meta strip. The product (v * 2**-gap) * (s * 2**gap) is two
+    # power-of-two-scaled bf16 normals, so it is BIT-EXACT equal to the
+    # 8-op "true" variant's v * s. Mirrors the decode kernel's split-2**60
+    # rescue (pallas_decode.py:155-160), but with no x/epilogue halves.
+    fp8_scaled = (int(fp8_nosub) >= 2 and W_group_mode == 2
+                  and scale_codec == "e8m0"
+                  and w_codec in ("fp8w", "fp8w5"))
+    exp_gap = 112 if w_codec == "fp8w5" else 120
     n_planes = 4 if w8_codes else 16 // W_nbits
     mask = _halfword_mask(W_nbits)
     # pair_fused (NVFP4 gs=16): planes are BUILT on fused 32-element blocks
@@ -135,6 +148,9 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
             else:
                 mrow = ref[pl.ds(k * c_meta, c_meta), sl]
             if scale_codec == "e8m0" and ref is s_ref:
+                if fp8_scaled:
+                    # fold the planes' 2**-gap back in: 2^(E-127+gap), exact
+                    mrow = mrow + exp_gap
                 return jax.lax.bitcast_convert_type(
                     jax.lax.shift_left(mrow, 23),
                     jnp.float32).astype(cdt)[:, None, :]
@@ -167,12 +183,15 @@ def _make_kernel(*, W_nbits, W_group_mode, channel_scale_mode, zero_is_scalar,
                 b = v5.astype(cdt) * sv
                 return b.astype(jnp.bfloat16).reshape(bk, bn_)
             if w_codec in ("fp8w", "fp8w5"):
-                # "true" variant: exact values via exponent rebase + zero-mask
+                # fp8_scaled: 3-op raw-exponent planes (v * 2**-gap), the gap
+                # cancelled by the biased e8m0 scale decode above (bit-exact).
+                # Else "true": exact values via exponent rebase + zero-mask
                 # (+5 ops, amortized over all M rows by the dequant-once build)
-                planes = _fp8_planes(w, c, t_rows, bn_,
-                                     e5m2=(w_codec == "fp8w5"),
-                                     nosub="true" if fp8_nosub else "")
-                v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
+                planes = _fp8_planes(
+                    w, c, t_rows, bn_, e5m2=(w_codec == "fp8w5"),
+                    nosub="scaled" if fp8_scaled
+                    else ("true" if fp8_nosub else ""))
+                v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)
             elif w_codec == "fp4":
                 planes = _fp4_planes(w, n_planes, c, t_rows, bn_)
                 v = jnp.stack(planes, axis=1).reshape(c, gs, bn_)  # true values
@@ -377,7 +396,7 @@ def pallas_dequantize(W_q, scales, zeros, meta, interpret=None, W_lo=None):
         n_k=K // bk, n_m=1, w_codec=w_codec, scale_codec=scale_codec,
         pair_fused=pair_fused, folded=bool(getattr(meta, "w_layout", 0)),
         odd_lo=W_lo is not None, build_only=True, csm_weight=csm,
-        fp8_nosub=bool(getattr(meta, "fp8_nosub", 0)))
+        fp8_nosub=int(getattr(meta, "fp8_nosub", 0)))
 
     in_specs = [
         pl.BlockSpec((bk // meta.elements_per_sample, bn),
@@ -693,7 +712,7 @@ def pallas_prefill_matmul(x, W_q, scales, zeros, scales_x, meta,
         folded=bool(getattr(meta, "w_layout", 0)),
         odd_lo=W_lo is not None, mx_ags=mx_ags,
         build_bf16=build_bf16, n_sub=n_sub,
-        fp8_nosub=bool(getattr(meta, "fp8_nosub", 0)),
+        fp8_nosub=int(getattr(meta, "fp8_nosub", 0)),
     )
 
     x_stream_bytes = (Mp * K + (K // mx_ags) * Mp * 4) if mx_ags else Mp * K * 2

@@ -144,6 +144,25 @@ def test_mx_x2_default_and_legacy_flat_equivalence():
     assert re2.mx_flat == 1  # re-scan of in-range e8m0 scales
 
 
+def test_mx_x2_rejects_min_e8m0_exponent():
+    """A layer whose e8m0 scale exponents include E=1 must NOT take the x2
+    re-encode: the pre-decrement would store E'=0, which every e8m0 decoder
+    maps to 0.0 (not 2^-126), silently zeroing the group. Unreachable from
+    the in-repo quantizer (clamps E>=97) but reachable via from_weights with
+    externally produced MXFP4 checkpoints."""
+    from gemlite_tpu.mx import A16W4_MXFP, mxfp_quantize_weight
+    W = jnp.asarray(RNG.normal(size=(128, 256)) * 0.02, jnp.bfloat16)
+    Wq, sc = mxfp_quantize_weight(W, 4)
+    sc_low = np.asarray(sc).copy()
+    sc_low[0, 0] = 1                      # externally-produced tiny scale
+    lay = A16W4_MXFP(dtype=jnp.bfloat16).from_weights(Wq, jnp.asarray(sc_low))
+    assert lay.mx_x2 == 0
+    # E=2 everywhere is fine (decrements to 1, still a valid e8m0 normal)
+    sc_ok = np.maximum(np.asarray(sc), 2).astype(np.uint8)
+    lay2 = A16W4_MXFP(dtype=jnp.bfloat16).from_weights(Wq, jnp.asarray(sc_ok))
+    assert lay2.mx_x2 == 1
+
+
 def test_fp8_nosub_flag_controls_fast_path():
     """The pack-time subnormal scan must gate the fast fp8 plane decode:
     flushed quantizer -> flag 1; raw quantizer + tiny weights -> flag 0."""

@@ -68,6 +68,33 @@ def test_prefill_kernel_matches_mx_oracle(proc_cls):
     assert d / s < 1e-3, d / s
 
 
+def test_mxfp8_prefill_scaled_build_bit_exact():
+    """The 3-op 'scaled' fp8 prefill build (fp8_nosub == 2: the biased e8m0
+    decode folds the planes' 2**-gap back in) must be BIT-exact vs the 8-op
+    'true' build, and the pack-time scan must grade the flag correctly."""
+    layer, w = _layer(A16W8_MXFP())
+    assert layer.fp8_nosub == 2, "quantizer scales are mid-range: expect 2"
+    meta = layer.meta
+    N, K, M = layer.out_features, layer.in_features, 100
+    cfg = select_prefill_config(meta, M, N, K)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(M, K)) * 0.5, jnp.bfloat16)
+    got2 = pallas_prefill_matmul(x, layer.W_q, layer.scales, layer.zeros,
+                                 None, meta, cfg, interpret=True)
+    got1 = pallas_prefill_matmul(x, layer.W_q, layer.scales, layer.zeros,
+                                 None, meta._replace(fp8_nosub=1), cfg,
+                                 interpret=True)
+    assert np.array_equal(np.asarray(got2, np.float32),
+                          np.asarray(got1, np.float32))
+    # out-of-range scale exponents must hold the flag at 1 (E + 120 > 254
+    # would decode to inf through the biased path)
+    from gemlite_tpu.mx import pack_mxfp_layer, mxfp_quantize_weight
+    W_q8, sc8 = mxfp_quantize_weight(np.asarray(w, np.float32), 8)
+    sc_hot = np.full(np.asarray(sc8).shape, 200, np.uint8)
+    hot = pack_mxfp_layer(W_q8, jnp.asarray(sc_hot), 8)
+    assert hot.fp8_nosub == 1
+
+
 class TestE5M2Weights:
     """MXFP8 layers with e5m2 weight bytes: the kernels must select the e5m2
     bit remap (w_code_dtype static), and both kernel regimes must agree with
