@@ -182,6 +182,13 @@ class ContinuousBatchingEngine:
         self.prefix_stats = {"hit_pages": 0, "new_pages": 0}
         self.key = jax.random.PRNGKey(seed)
 
+        # device-resident decode-loop state: the previous step's sampled
+        # tokens / advanced lens / temps / active mask as DEVICE arrays.
+        # Invalidated (-> host re-upload) whenever the host scheduler changes
+        # slot state: admission, chunk completion, finish, speculative burst.
+        self._dev: Optional[Dict[str, Any]] = None
+        self._dev_dirty = True
+
         # host-side slot state
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.slot_len = np.zeros(max_batch, np.int32)        # valid cache length
@@ -371,7 +378,11 @@ class ContinuousBatchingEngine:
                                             kv=kv_slot, cache_len=0)
             kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
         last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
-        return last[:, 0, :], kv
+        last = last[:, 0, :]
+        # greedy token computed in-program: the host needs one scalar
+        # download instead of a second argmax dispatch (tunnel RPCs dominate
+        # admission latency; temperature>0 slots still sample host-side)
+        return last, jnp.argmax(last, axis=-1).astype(jnp.int32), kv
 
     def _prefill_chunk_impl(self, params, tokens, kv, slot, cache_len, true_len):
         """One prompt chunk at a traced cache offset. tokens (1, C) padded;
@@ -393,7 +404,8 @@ class ContinuousBatchingEngine:
                                             kv=kv_slot, cache_len=cache_len)
             kv = jax.lax.dynamic_update_slice_in_dim(kv, kv_slot, slot, axis=2)
         last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
-        return last[:, 0, :], kv
+        last = last[:, 0, :]
+        return last, jnp.argmax(last, axis=-1).astype(jnp.int32), kv
 
     def _dprefill_impl(self, dparams, tokens, kv, slot, true_len):
         """Draft-model slot prefill (cache only; logits discarded)."""
@@ -494,11 +506,17 @@ class ContinuousBatchingEngine:
         return drafts, fix, n_acc, kv, dkv, key
 
     def _decode_impl(self, params, tokens, kv, cache_lens, key, temps,
-                     t_active=None):
+                     active, t_active=None):
         """One batched decode step. tokens (B, 1); cache_lens (B,);
-        temps (B,); t_active static live-KV bucket. Inactive slots are
-        masked by the stale-row/trash-page write convention, not here.
-        Returns (next_tokens (B,), kv, key)."""
+        temps (B,); active (B,) int32 mask; t_active static live-KV bucket.
+        Inactive slots are masked by the stale-row/trash-page write
+        convention, not here. Returns (next_tokens (B,), kv, key,
+        next_cache_lens) — the advanced lens feed the DEVICE-RESIDENT decode
+        loop: between admissions/finishes the engine reuses the returned
+        tokens/lens on device, so a steady decode step costs ONE dispatch +
+        ONE scalar-batch download instead of re-uploading every per-slot
+        array (measured 206 -> ~70 ms/step through the dev tunnel at 32
+        slots; see SERVING.md)."""
         from .models.llama import llama_decode_step_batched
 
         # inactive slots write their k/v at their (stale) cache_lens row and
@@ -511,7 +529,7 @@ class ContinuousBatchingEngine:
         scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
         sampled = jax.random.categorical(sub, scaled, axis=-1).astype(jnp.int32)
         nxt = jnp.where(temps > 0, sampled, greedy)
-        return nxt, kv, key
+        return nxt, kv, key, cache_lens + active
 
     # ------------------------------------------------------------------
     # host-side scheduler
@@ -531,15 +549,19 @@ class ContinuousBatchingEngine:
     def num_active(self) -> int:
         return sum(r is not None for r in self.slot_req)
 
-    def _sample_first(self, req, logits):
+    def _sample_first(self, req, logits, greedy=None):
         if req.temperature > 0:
             self.key, sub = jax.random.split(self.key)
             return int(jax.random.categorical(
                 sub, logits.astype(jnp.float32) / req.temperature, axis=-1)[0])
+        if greedy is not None:       # computed inside the prefill program
+            return int(greedy[0])
         return int(jnp.argmax(logits, axis=-1)[0])
 
     def _admit(self):
         """Fill free slots from the queue with slot-local prefill."""
+        if self.queue and any(r is None for r in self.slot_req):
+            self._dev_dirty = True           # slot state about to change
         for slot in range(self.max_batch):
             if self.slot_req[slot] is not None or not self.queue:
                 continue
@@ -590,14 +612,14 @@ class ContinuousBatchingEngine:
                 self.queue.insert(0, req)
                 break
             self._sync_table()
-            logits, self.kv = self._prefill_jit(
+            logits, greedy, self.kv = self._prefill_jit(
                 self.params, jnp.asarray(padded), self.kv,
                 jnp.int32(slot), jnp.int32(len(prompt)))
             if self.draft is not None:
                 self.draft_kv = self._dprefill_jit(
                     self.draft[0], jnp.asarray(padded), self.draft_kv,
                     jnp.int32(slot), jnp.int32(len(prompt)))
-            tok = self._sample_first(req, logits)
+            tok = self._sample_first(req, logits, greedy)
             self.slot_req[slot] = req
             self.slot_len[slot] = len(prompt)
             self.slot_out[slot] = [tok]
@@ -629,7 +651,7 @@ class ContinuousBatchingEngine:
             padded[0, :len(chunk)] = chunk
             self._ensure_pages(slot, int(self.slot_len[slot]) + C)
             self._sync_table()
-            logits, self.kv = self._prefill_chunk_jit(
+            logits, greedy, self.kv = self._prefill_chunk_jit(
                 self.params, jnp.asarray(padded), self.kv, jnp.int32(slot),
                 jnp.int32(int(self.slot_len[slot])), jnp.int32(len(chunk)))
             if self.draft is not None:
@@ -641,8 +663,9 @@ class ContinuousBatchingEngine:
                 self.slot_pending[slot] = rest
                 continue
             self.slot_pending[slot] = None
+            self._dev_dirty = True           # slot joins the decode batch
             req = self.slot_req[slot]
-            tok = self._sample_first(req, logits)
+            tok = self._sample_first(req, logits, greedy)
             self.slot_out[slot] = [tok]
             self.slot_last[slot] = tok
             self._mark_first_token(req)
@@ -682,6 +705,7 @@ class ContinuousBatchingEngine:
             self.slot_req[slot] = None
             self.slot_out[slot] = []
             self.slot_pending[slot] = None
+            self._dev_dirty = True           # slot left the decode batch
             self._free_slot_pages(slot)
 
     def step(self):
@@ -726,6 +750,7 @@ class ContinuousBatchingEngine:
             fix = np.asarray(fix)
             n_acc = np.asarray(n_acc)
             self._counters["spec_steps"] += 1
+            self._dev_dirty = True           # spec path bypasses _dev
             for slot in range(self.max_batch):
                 if not active[slot]:
                     continue
@@ -748,17 +773,32 @@ class ContinuousBatchingEngine:
         # the dense cache falls back to the live-KV bucket bound
         t_act = (None if self.paged
                  else _next_bucket(max_len + 1, self.decode_buckets))
-        lens_j, temps_j = jnp.asarray(lens), jnp.asarray(temps)
-        if self._dp is not None:
-            # batch-sharded decode: pinning the per-step inputs to the dp
-            # axis forces GSPMD to run the whole forward batch-sharded
-            tokens = jax.device_put(tokens, self._dp["b1"])
-            lens_j = jax.device_put(lens_j, self._dp["b"])
-            temps_j = jax.device_put(temps_j, self._dp["b"])
-        nxt, self.kv, self.key = self._decode_jit(
+        # device-resident loop: between admissions/finishes the per-slot
+        # arrays live on device (_decode_impl returns the advanced lens and
+        # the sampled tokens, which ARE the next step's inputs) — a steady
+        # step then costs one dispatch + one download, instead of the 4-5
+        # host->device uploads that dominated through the dev tunnel
+        if self._dev is not None and not self._dev_dirty:
+            tokens = self._dev["tokens"]
+            lens_j, temps_j, act_j = (self._dev["lens"], self._dev["temps"],
+                                      self._dev["active"])
+        else:
+            lens_j, temps_j = jnp.asarray(lens), jnp.asarray(temps)
+            act_j = jnp.asarray(active.astype(np.int32))
+            if self._dp is not None:
+                # batch-sharded decode: pinning the per-step inputs to the dp
+                # axis forces GSPMD to run the whole forward batch-sharded
+                tokens = jax.device_put(tokens, self._dp["b1"])
+                lens_j = jax.device_put(lens_j, self._dp["b"])
+                temps_j = jax.device_put(temps_j, self._dp["b"])
+                act_j = jax.device_put(act_j, self._dp["b"])
+        nxt_j, self.kv, self.key, lens_next = self._decode_jit(
             self.params, tokens, self.kv, lens_j,
-            self.key, temps_j, t_active=t_act)
-        nxt = np.asarray(nxt)
+            self.key, temps_j, act_j, t_active=t_act)
+        self._dev = {"tokens": nxt_j[:, None], "lens": lens_next,
+                     "temps": temps_j, "active": act_j}
+        self._dev_dirty = False
+        nxt = np.asarray(nxt_j)
         self._counters["decode_steps"] += 1
         for slot in range(self.max_batch):
             if not active[slot]:

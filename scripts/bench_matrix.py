@@ -193,6 +193,12 @@ def main():
     rows.append(bench_point("MXFP8 (A16)", l, 256))
     del l
 
+    # --- NVFP4 (fp4 codes + fp8-e4m3 gs=16 scales, pair-fused build) -------
+    l = mxfp_quantize_layer_for_autotune(4096, 4096, DType.NVFP4, rng)
+    rows.append(bench_point("NVFP4 (A16)", l, 1))
+    rows.append(bench_point("NVFP4 (A16)", l, 256))
+    del l
+
     if args.write_md:
         md = ["# BENCH_MATRIX — BASELINE.md config sweep (one real-chip session)",
               "",
