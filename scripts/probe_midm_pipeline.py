@@ -172,7 +172,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from gemlite_tpu.ops.pallas_prefill import (pallas_prefill_matmul,
                                                 select_prefill_config)
-    from gemlite_tpu.config import lookup_config, KernelConfig
+    from gemlite_tpu.config import (config_signature, ensure_default_config,
+                                    lookup_config)
+    from gemlite_tpu.ops.dispatch import autotune_type_id
+    from gemlite_tpu.utils import m_bucket
+    ensure_default_config()
 
     M = 256
     MXU_TF = 197.0  # v5e bf16 peak
@@ -186,7 +190,10 @@ def main():
         want = np.asarray(x, np.float32) @ W_deq.T
 
         # production kernel at its tuned config
-        cfg = lookup_config(meta, M, N, K) or select_prefill_config(
+        sig = config_signature(m_bucket.get_closest_m(M), N, K,
+                               meta.group_size, meta.elements_per_sample,
+                               autotune_type_id(meta))
+        cfg = lookup_config("GEMM", sig) or select_prefill_config(
             meta, M, N, K)
         y0 = pallas_prefill_matmul(x, layer.W_q, layer.scales, layer.zeros,
                                    None, meta, cfg)

@@ -79,6 +79,20 @@ def main():
             n1 = max(20, n1 // 4)
         sl = timed_slopes({label: (run, x, tensors)}, n1, 4 * n1, repeats=5)
         dt = sl[label]
+        # adaptive noise guard (see autotune._bench_call): rescale n until
+        # the slope delta clears the tunnel jitter floor, and reject
+        # physically-impossible rates outright
+        wq_bytes = np.asarray(layer.W_q).nbytes
+        for _ in range(3):
+            delta = 3 * n1 * max(dt, 0.0)
+            tf_rate = 2 * M * N * K / dt / 1e12 if dt > 0 else float("inf")
+            bw_rate = wq_bytes / dt / 1e9 if dt > 0 else float("inf")
+            if delta >= 0.025 and tf_rate < 1.05 * MXU and bw_rate < 1.2 * HBM:
+                break
+            n1 = min(n1 * 4, 40000)
+            sl = timed_slopes({label: (run, x, tensors)}, n1, 4 * n1,
+                              repeats=6)
+            dt = sl[label]
         meta_b = sum(np.asarray(t).nbytes for t in tensors[1:]
                      if t is not None)
         wbytes = np.asarray(layer.W_q).nbytes + meta_b + x.nbytes + M * N * 2

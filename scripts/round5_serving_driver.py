@@ -269,7 +269,9 @@ def stage3_throughput_w2_fused():
 
 
 def stage4_paged_vs_dense():
-    t0 = stage(4, "paged vs contiguous KV overhead (8 slots, W4)")
+    # max_batch=32 on BOTH sides so the paged run reuses stage 2's compiled
+    # programs (one new compile: the dense bucketed decode)
+    t0 = stage(4, "paged vs contiguous KV overhead (8 active slots, W4)")
     from llama8b_bench import build_quantized_llama
     from gemlite_tpu.models import LlamaConfig
 
@@ -280,9 +282,9 @@ def stage4_paged_vs_dense():
     params = build_quantized_llama(cfg, W_nbits=4, group_size=128)
     print(f"  built in {time.time()-t0:.0f}s", flush=True)
     _run_engine_throughput(params, cfg, "llama8b W4 gs=128", [8], paged=True,
-                           max_batch=8)
+                           max_batch=32)
     _run_engine_throughput(params, cfg, "llama8b W4 gs=128", [8], paged=False,
-                           max_batch=8)
+                           max_batch=32)
     print(f"stage 4 done in {time.time()-t0:.0f}s", flush=True)
 
 
@@ -295,16 +297,19 @@ def stage5_chunked_ttft():
     cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,
                       intermediate_size=14336, num_layers=32,
                       num_heads=32, num_kv_heads=8, head_dim=128,
-                      max_seq_len=2048)
+                      max_seq_len=1024)
     params = build_quantized_llama(cfg, W_nbits=4, group_size=128)
     print(f"  built in {time.time()-t0:.0f}s", flush=True)
     rng = np.random.default_rng(2)
-    LONG = 1536
+    LONG = 768
+    # compile budget (each fresh program is ~half an hour through the dev
+    # proxy): buckets (128, 1024) -> exactly three big programs across
+    # stages 5+6 (one-shot-1024 prefill, 256-chunk, decode-8)
 
     for chunk in (None, 256):
         eng = ContinuousBatchingEngine(
             params, cfg, max_batch=8, paged=True, page_size=128,
-            prefill_buckets=(128, 256, 512, 1024, 2048),
+            prefill_buckets=(128, 1024),
             prefill_chunk=chunk, prefix_cache=False)
         # warmup compiles: short + long + decode
         eng.submit(Request(prompt_tokens=rng.integers(3, 1000, 128),
@@ -344,7 +349,7 @@ def stage5_chunked_ttft():
 
 
 def stage6_prefix_cache():
-    t0 = stage(6, "prefix cache speedup (shared 1024-token prefix, W4)")
+    t0 = stage(6, "prefix cache speedup (shared 512-token prefix, W4)")
     from llama8b_bench import build_quantized_llama
     from gemlite_tpu.models import LlamaConfig
     from gemlite_tpu.serving import ContinuousBatchingEngine, Request
@@ -352,17 +357,17 @@ def stage6_prefix_cache():
     cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,
                       intermediate_size=14336, num_layers=32,
                       num_heads=32, num_kv_heads=8, head_dim=128,
-                      max_seq_len=2048)
+                      max_seq_len=1024)
     params = build_quantized_llama(cfg, W_nbits=4, group_size=128)
     print(f"  built in {time.time()-t0:.0f}s", flush=True)
     rng = np.random.default_rng(3)
-    prefix = rng.integers(3, 1000, 1024).astype(np.int32)
+    prefix = rng.integers(3, 1000, 512).astype(np.int32)
     tails = make_prompts(rng, 12, 40, 120, 1000)
 
     for use_prefix in (False, True):
         eng = ContinuousBatchingEngine(
             params, cfg, max_batch=8, paged=True, page_size=128,
-            prefill_buckets=(128, 256, 512, 1024, 2048),
+            prefill_buckets=(128, 1024),
             prefill_chunk=256, prefix_cache=use_prefix)
         # warmup compiles (chunk + decode)
         eng.submit(Request(prompt_tokens=np.concatenate([prefix, tails[0]]),
@@ -377,7 +382,7 @@ def stage6_prefix_cache():
         wall = time.monotonic() - t1
         ttfts = sorted(r.ttft_s for r in res)
         emit({"stage": "prefix_cache", "model": "llama8b W4 gs=128",
-              "prefix_cache": use_prefix, "shared_prefix": 1024,
+              "prefix_cache": use_prefix, "shared_prefix": 512,
               "n_req": len(reqs), "wall_s": round(wall, 3),
               "ttft_p50_s": round(ttfts[len(ttfts) // 2], 3),
               "ttft_max_s": round(ttfts[-1], 3),
