@@ -279,14 +279,18 @@ class A16Wn_HQQ_INT(A16Wn):
         return super().from_weights(W_q, scales, zeros, self.W_nbits, group_size,
                                     bias, "INT")
 
-    def from_float_weights(self, weight, bias=None, group_size=128, iters=12):
+    def from_float_weights(self, weight, bias=None, group_size=128, iters=12,
+                           clip_grid=None):
         """Quantize FLOAT weights with the native HQQ-style error-minimizing
         grouped-INT quantizer (quant.quantize_int_weights) and pack. The
         reference delegates this step to the external hqq package
-        (helper.py:339-370); here it is built in."""
+        (helper.py:339-370); here it is built in. ``clip_grid`` enables the
+        range-shrink search (the sub-4-bit quality lever; see
+        quant.quantize_int_weights)."""
         from .quant import quantize_int_weights
         W_q, scales, zeros = quantize_int_weights(
-            _to_np(weight), self.W_nbits, group_size, iters=iters)
+            _to_np(weight), self.W_nbits, group_size, iters=iters,
+            clip_grid=clip_grid)
         return self.from_weights(W_q, scales, zeros, bias)
 
 
@@ -628,12 +632,13 @@ def _warmup_layer(processor, w, group_size):
     return _warmup_quantize(processor, w, group_size)
 
 
-def _warmup_quantize(processor, w, group_size):
+def _warmup_quantize(processor, w, group_size, **quant_kwargs):
     """Group-quantize a float matrix for Wn processors: min-max init + the
     native HQQ-style alternating error refinement (quant.quantize_int_weights
-    — the reference delegates this step to the external hqq package)."""
+    — the reference delegates this step to the external hqq package).
+    ``quant_kwargs`` pass through (iters=, clip_grid=)."""
     from .quant import quantize_int_weights
     nb = processor.W_nbits
     gs = group_size if nb <= 4 else w.shape[1]
-    W_q, scales, zeros = quantize_int_weights(w, nb, gs)
+    W_q, scales, zeros = quantize_int_weights(w, nb, gs, **quant_kwargs)
     return processor.from_weights(W_q, scales, zeros, bias=None)

@@ -99,7 +99,7 @@ _LINEAR_KEYS = (("attn", "wq"), ("attn", "wk"), ("attn", "wv"), ("attn", "wo"),
 
 def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
                    group_size: int = 128, quantize_lm_head: bool = False,
-                   fuse: bool = False) -> Dict:
+                   fuse: bool = False, **quant_kwargs) -> Dict:
     """Replace every block linear (and optionally lm_head) with a packed
     GemLiteLinear via `processor.from_weights` (defaults to HQQ-style
     asymmetric grouped quantization at the given bit width).
@@ -129,7 +129,7 @@ def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
                 bias = None
             return processor.from_linear(_W(), del_orig=False)
         if hasattr(processor, "W_nbits") and processor.W_nbits is not None:
-            return _warmup_quantize(processor, w, group_size)
+            return _warmup_quantize(processor, w, group_size, **quant_kwargs)
         return processor.from_weights(w, None)
 
     out = dict(params)

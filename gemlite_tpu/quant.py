@@ -397,7 +397,8 @@ class WeightQuantizerMXFP:
 # Native grouped-INT weight quantizer (HQQ-style error minimization)
 # ---------------------------------------------------------------------------
 def quantize_int_weights(weight, W_nbits: int = 4, group_size: int = 128,
-                         iters: int = 12, optimize: bool = True):
+                         iters: int = 12, optimize: bool = True,
+                         clip_grid=None):
     """Grouped asymmetric INT quantization with alternating error refinement.
 
     The reference delegates error-minimizing INT quantization to the external
@@ -406,6 +407,12 @@ def quantize_int_weights(weight, W_nbits: int = 4, group_size: int = 128,
     (a) re-rounding W_q under the current affine params and (b) per-group
     least-squares refit of (scale, zero) to the rounded codes — monotone on
     the tracked objective because the best iterate is kept.
+
+    ``clip_grid``: optional iterable of range-shrink factors (e.g.
+    ``(1.0, 0.9, 0.8, 0.7, 0.6)``); each group's (lo, hi) window is shrunk
+    about its midpoint by each factor, quantized, and the per-group MSE-best
+    init seeds the refit loop — at 2 bits the min-max window wastes most of
+    the 4-code budget on outliers, so clipping is where the headroom is.
 
     Returns ``(W_q uint8 (N, K), scales f32 (G, 1), zeros f32 (G, 1))``,
     exactly the triple ``GemLiteLinear.pack`` / ``A16Wn_HQQ_INT.from_weights``
@@ -429,6 +436,23 @@ def quantize_int_weights(weight, W_nbits: int = 4, group_size: int = 128,
 
     q = quant(s, z)
     best = (err(q, s, z), q, s, z)
+    if clip_grid is not None:
+        mid = (lo + hi) / 2.0
+        for r in clip_grid:
+            if r == 1.0:
+                continue
+            lo_r = mid + (lo - mid) * r
+            hi_r = mid + (hi - mid) * r
+            s_r = np.maximum((hi_r - lo_r) / qmax, 1e-8)
+            z_r = -lo_r / s_r
+            q_r = quant(s_r, z_r)
+            e_r = err(q_r, s_r, z_r)
+            keep = e_r < best[0]
+            best = (np.where(keep, e_r, best[0]),
+                    np.where(keep, q_r, best[1]),
+                    np.where(keep, s_r, best[2]),
+                    np.where(keep, z_r, best[3]))
+        q, s, z = best[1], best[2], best[3]
     if optimize:
         for _ in range(iters):
             # least-squares refit of W ~ s*q + b per group (b = -s*z)

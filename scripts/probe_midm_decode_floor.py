@@ -37,7 +37,8 @@ def timed(fn, args, n1, repeats=6, min_delta=0.03):
     def loop(x, rest, n):
         def body(i, xx):
             y = fn(xx, *rest)
-            return x + (y * jnp.asarray(1e-30, y.dtype)).astype(x.dtype)
+            # scalar data-dependence (output shape may differ from input)
+            return x + (jnp.sum(y.astype(jnp.float32)) * 1e-30).astype(x.dtype)
         return jnp.sum(lax.fori_loop(0, n, body, x).astype(jnp.float32))
 
     x, rest = args[0], tuple(args[1:])

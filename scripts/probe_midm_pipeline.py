@@ -179,9 +179,15 @@ def main():
     ensure_default_config()
 
     M = 256
+    sizes = (4096, 8192, 16384)
+    if "--M" in sys.argv:
+        M = int(sys.argv[sys.argv.index("--M") + 1])
+    if "--sizes" in sys.argv:
+        sizes = tuple(int(s) for s in
+                      sys.argv[sys.argv.index("--sizes") + 1].split(","))
     MXU_TF = 197.0  # v5e bf16 peak
     rng = np.random.default_rng(1)
-    for S in (4096, 8192, 16384):
+    for S in sizes:
         N = K = S
         layer, W_deq = build_layer(N, K)
         meta = layer.meta
@@ -195,18 +201,31 @@ def main():
                                autotune_type_id(meta))
         cfg = lookup_config("GEMM", sig) or select_prefill_config(
             meta, M, N, K)
-        y0 = pallas_prefill_matmul(x, layer.W_q, layer.scales, layer.zeros,
-                                   None, meta, cfg)
-        r0 = np.abs(np.asarray(y0, np.float32) - want).mean() / \
-            (np.abs(want).mean() + 1e-9)
-        dt0 = timed_slope(
-            lambda xx, Wq, s, z: pallas_prefill_matmul(
-                xx, Wq, s, z, None, meta, cfg),
+        try:
+            y0 = pallas_prefill_matmul(x, layer.W_q, layer.scales,
+                                       layer.zeros, None, meta, cfg)
+            r0 = np.abs(np.asarray(y0, np.float32) - want).mean() / \
+                (np.abs(want).mean() + 1e-9)
+            dt0 = timed_slope(
+                lambda xx, Wq, s, z: pallas_prefill_matmul(
+                    xx, Wq, s, z, None, meta, cfg),
+                (x, layer.W_q, layer.scales, layer.zeros))
+            tf0 = 2 * M * N * K / dt0 / 1e12
+            print(f"{S}x{S} M={M} production: {dt0*1e6:.1f} us = {tf0:.1f} TF "
+                  f"({100*tf0/MXU_TF:.1f}% MXU)  rel={r0:.1e}  cfg={cfg}",
+                  flush=True)
+        except Exception as e:
+            print(f"{S}x{S} M={M} production: FAIL {str(e)[:90]}", flush=True)
+        # whatever dispatch actually routes (at giant M: the measured
+        # two-pass dense-fallback pseudo-candidate) — the incumbent
+        from gemlite_tpu.core import forward_functional
+        dtd = timed_slope(
+            lambda xx, Wq, s, z: forward_functional(
+                xx, None, [Wq, s, z], meta),
             (x, layer.W_q, layer.scales, layer.zeros))
-        tf0 = 2 * M * N * K / dt0 / 1e12
-        print(f"{S}x{S} M={M} production: {dt0*1e6:.1f} us = {tf0:.1f} TF "
-              f"({100*tf0/MXU_TF:.1f}% MXU)  rel={r0:.1e}  cfg={cfg}",
-              flush=True)
+        tfd = 2 * M * N * K / dtd / 1e12
+        print(f"  dispatch-route: {dtd*1e6:.1f} us = {tfd:.1f} TF "
+              f"({100*tfd/MXU_TF:.1f}% MXU)", flush=True)
 
         # pipelined variant over a small (bn, bk) grid
         for bn in (512, 1024, 256):
