@@ -83,8 +83,12 @@ def main():
     tensors = tuple(layer.get_tensor_args())
     wbytes = np.asarray(layer.W_q).nbytes
 
-    # pre-built dense bf16 weights for the MXU-floor kernels
-    Wd = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.bfloat16)
+    # pre-built dense bf16 weights for the MXU-floor kernels — generated ON
+    # DEVICE (a 33-64 MB host upload through the dev tunnel can take tens of
+    # minutes and wedged two prior runs of this probe)
+    Wd = jax.jit(lambda k: (jax.random.normal(k, (K, N), jnp.float32)
+                            * 0.02).astype(jnp.bfloat16))(
+        jax.random.PRNGKey(0))
 
     def make_mxu_batched(M, bn=512, bk=1024, resident=False):
         """c batched (M, gs) x (gs, bn) dots per (j, k) block — the decode
