@@ -439,10 +439,82 @@ def stage7_spec_decode():
     print(f"stage 7 done in {time.time()-t0:.0f}s", flush=True)
 
 
+def stage8_device_throughput():
+    """Device-side engine decode throughput: lax.scan the engine's OWN
+    batched decode step (same program the engine dispatches — paged KV,
+    per-slot offsets, sampling, lens advance) for n steps inside one jit
+    and slope-time it. This is what a normally-attached deployment gets
+    per step; the per-step wall numbers in stages 2-4 additionally pay
+    this environment's tunnel RPCs (which ranged 0.1-1.7 s/step across
+    sessions)."""
+    t0 = stage(8, "device-side engine decode step (scan inside one jit)")
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import lax
+    from llama8b_bench import build_quantized_llama
+    from gemlite_tpu.models import LlamaConfig
+    from gemlite_tpu.serving import ContinuousBatchingEngine, Request
+
+    cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,
+                      intermediate_size=14336, num_layers=32,
+                      num_heads=32, num_kv_heads=8, head_dim=128,
+                      max_seq_len=512)
+    rng = np.random.default_rng(5)
+    for label, nbits, fuse in (("W4", 4, False), ("W2 fused", 2, True)):
+        params = build_quantized_llama(cfg, W_nbits=nbits, group_size=128,
+                                       fuse=fuse)
+        eng = ContinuousBatchingEngine(params, cfg, max_batch=32, paged=True,
+                                       page_size=128, prefill_buckets=(128,),
+                                       prefix_cache=False)
+        # fill all 32 slots via real admissions so the paged tables/lens
+        # are genuine engine state
+        for _ in range(32):
+            eng.submit(Request(prompt_tokens=rng.integers(3, 1000, 128),
+                               max_new_tokens=400))
+        eng.step()                    # admit + first decode (compiles)
+        eng._sync_table()
+        B = eng.max_batch
+        lens = jnp.asarray(eng.slot_len + np.array(
+            [max(len(o) - 1, 0) for o in eng.slot_out], np.int32))
+        tokens = jnp.asarray(eng.slot_last.reshape(-1, 1))
+        temps = jnp.zeros((B,), jnp.float32)
+        act = jnp.ones((B,), jnp.int32)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def scan_steps(params, tokens, kv, lens, key, n):
+            def body(carry, _):
+                tokens, kv, lens, key = carry
+                nxt, kv, key, lens = eng._decode_impl(
+                    params, tokens, kv, lens, key, temps, act, t_active=None)
+                return (nxt[:, None], kv, lens, key), nxt[0]
+            (tokens, kv, lens, key), toks = lax.scan(
+                body, (tokens, kv, lens, key), None, length=n)
+            return toks
+
+        n1, n2 = 16, 64
+        for n in (n1, n2):
+            float(scan_steps(params, tokens, eng.kv, lens, eng.key,
+                             n).sum())
+        best = {}
+        for n in (n1, n2) * 4:
+            t1 = time.monotonic()
+            float(scan_steps(params, tokens, eng.kv, lens, eng.key,
+                             n).sum())
+            best[n] = min(best.get(n, 1e9), time.monotonic() - t1)
+        dt = (best[n2] - best[n1]) / (n2 - n1)
+        emit({"stage": "device_throughput", "model": f"llama8b {label}",
+              "slots": B, "step_device_ms": round(dt * 1e3, 2),
+              "agg_tok_s_device": round(B / dt, 1),
+              "per_seq_tok_s_device": round(1 / dt, 2)})
+        del params, eng
+    print(f"stage 8 done in {time.time()-t0:.0f}s", flush=True)
+
+
 STAGES = {1: stage1_correctness, 2: stage2_throughput_w4,
           3: stage3_throughput_w2_fused, 4: stage4_paged_vs_dense,
           5: stage5_chunked_ttft, 6: stage6_prefix_cache,
-          7: stage7_spec_decode}
+          7: stage7_spec_decode, 8: stage8_device_throughput}
 
 
 def main():
@@ -457,8 +529,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     print(f"devices: {jax.devices()}", flush=True)
+    # tunnel-phase calibration: median round-trip of a trivial dispatch +
+    # scalar download — the per-step floor every engine wall number below
+    # pays (observed 0.03-0.9 s across sessions in this environment)
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda x: (x * 2).sum())
+    float(tiny(jnp.ones((8, 8))))
+    rtts = []
+    for _ in range(12):
+        t0 = time.monotonic()
+        float(tiny(jnp.ones((8, 8))))
+        rtts.append(time.monotonic() - t0)
+    rtts.sort()
     emit({"stage": "session", "backend": jax.default_backend(),
-          "device": str(jax.devices()[0])})
+          "device": str(jax.devices()[0]),
+          "rpc_rtt_p50_ms": round(1e3 * rtts[len(rtts) // 2], 1),
+          "rpc_rtt_min_ms": round(1e3 * rtts[0], 1)})
 
     for n, fn in STAGES.items():
         if args.only and n != args.only:
