@@ -212,15 +212,23 @@ class ContinuousBatchingEngine:
             b *= 2
         self.decode_buckets.append(cfg.max_seq_len)
 
-        self._prefill_jit = jax.jit(self._prefill_impl)
-        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl)
+        # kv (and the PRNG key) are donated: the engine always reassigns
+        # self.kv/self.key from the results, and without donation XLA
+        # allocates + copies the multi-GB cache on every step
+        self._prefill_jit = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl,
+                                          donate_argnums=(2,))
         self._decode_jit = jax.jit(self._decode_impl,
-                                   static_argnames=("t_active",))
+                                   static_argnames=("t_active",),
+                                   donate_argnums=(2, 4))
         if draft is not None:
-            self._dprefill_jit = jax.jit(self._dprefill_impl)
-            self._dprefill_chunk_jit = jax.jit(self._dprefill_chunk_impl)
+            self._dprefill_jit = jax.jit(self._dprefill_impl,
+                                         donate_argnums=(2,))
+            self._dprefill_chunk_jit = jax.jit(self._dprefill_chunk_impl,
+                                               donate_argnums=(2,))
             self._spec_jit = jax.jit(self._spec_impl,
-                                     static_argnames=("gamma", "t_active"))
+                                     static_argnames=("gamma", "t_active"),
+                                     donate_argnums=(3, 4))
 
     # ------------------------------------------------------------------
     # paged-KV page allocator (host side)
@@ -503,7 +511,12 @@ class ContinuousBatchingEngine:
             sub, jnp.log(res), axis=-1).astype(jnp.int32)
         fix_greedy = jnp.argmax(res, axis=-1).astype(jnp.int32)
         fix = jnp.where(temps > 0, fix_sampled, fix_greedy)   # (B,)
-        return drafts, fix, n_acc, kv, dkv, key
+        # ONE packed int32 result array: [drafts (B*g) | fix (B) | n_acc (B)]
+        # — the host needs a single download per burst instead of three
+        # (each forced np.asarray is a full RPC round trip here)
+        packed = jnp.concatenate([drafts.reshape(-1), fix,
+                                  n_acc.astype(jnp.int32)])
+        return packed, kv, dkv, key
 
     def _decode_impl(self, params, tokens, kv, cache_lens, key, temps,
                      active, t_active=None):
@@ -741,14 +754,16 @@ class ContinuousBatchingEngine:
                     self._ensure_pages(slot, int(lens[slot]) + g + 1)
             self._sync_table()
             t_act = _next_bucket(max_len + g + 1, self.decode_buckets)
-            drafts, fix, n_acc, self.kv, self.draft_kv, self.key = \
+            packed, self.kv, self.draft_kv, self.key = \
                 self._spec_jit(self.params, self.draft[0], tokens, self.kv,
                                self.draft_kv, jnp.asarray(lens),
                                jnp.asarray(temps), self.key,
                                gamma=g, t_active=t_act)
-            drafts = np.asarray(drafts)
-            fix = np.asarray(fix)
-            n_acc = np.asarray(n_acc)
+            packed = np.asarray(packed)
+            B = self.max_batch
+            drafts = packed[:B * g].reshape(B, g)
+            fix = packed[B * g:B * g + B]
+            n_acc = packed[B * g + B:]
             self._counters["spec_steps"] += 1
             self._dev_dirty = True           # spec path bypasses _dev
             for slot in range(self.max_batch):

@@ -19,7 +19,7 @@ Stages (each `--only N` runnable standalone; results append):
   5. chunked prefill TTFT: long admission into a busy engine, with and
      without prefill_chunk; TTFT of the long request + stall of others.
   6. prefix cache: 16 requests sharing a long prefix, cache on vs off.
-  7. speculative decoding, trained tiny model: W8 target + W2 draft of the
+  7. speculative decoding, trained tiny model: W8 target + W4 draft of the
      same checkpoint — acceptance rate + emitted tokens/step + wall speedup.
 
 Usage:  python scripts/round5_serving_driver.py [--only N] [--out FILE]
@@ -391,11 +391,16 @@ def stage6_prefix_cache():
 
 
 def stage7_spec_decode():
-    t0 = stage(7, "speculative decode: trained tiny W8 target + W2 draft")
+    # draft = W4 of the same checkpoint: close to the target distribution
+    # (nll 0.31 vs the target's 0.20 — W2_ABLATION.md) at half the weight
+    # stream. The first run used a W2 draft, whose 2.76 nll makes it a
+    # near-random proposer (0.30 accepted/burst, spec LOST 2x) — committed
+    # in SERVING_raw.jsonl as the bad-draft ablation point.
+    t0 = stage(7, "speculative decode: trained tiny W8 target + W4 draft")
     from gemlite_tpu.serving import ContinuousBatchingEngine, Request
 
     params, cfg = load_tiny("w8")
-    draft_params, draft_cfg = load_tiny("w2")
+    draft_params, draft_cfg = load_tiny("w4")
     rng = np.random.default_rng(4)
     # English-like prompts: reuse holdout text bytes so the trained model's
     # predictions (and therefore the draft's agreement) are realistic
@@ -423,7 +428,7 @@ def stage7_spec_decode():
         toks = sum(len(r.output_tokens) for r in res)
         st = eng.stats()
         results[gamma] = (wall, toks, st)
-        emit({"stage": "spec_decode", "model": "tiny_en_5m W8 + W2 draft",
+        emit({"stage": "spec_decode", "model": "tiny_en_5m W8 + W4 draft",
               "gamma": gamma, "wall_s": round(wall, 3), "tokens": toks,
               "agg_tok_s": round(toks / wall, 1),
               "spec_steps": st.get("spec_steps", 0),
