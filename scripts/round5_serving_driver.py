@@ -318,6 +318,19 @@ def stage5_chunked_ttft():
         eng.submit(Request(prompt_tokens=rng.integers(3, 1000, LONG),
                            max_new_tokens=4))
         eng.run()
+        # variant warmup: a long admission INTO active decode compiles a
+        # distinct decode-program variant (identical arg shapes/dtypes —
+        # the cache key difference is the donated chunk-output buffer
+        # layout); without this the measured p99 absorbs an ~18 s one-time
+        # XLA compile (bisected in /tmp/s5_bisect.py, round 5)
+        for r in [Request(prompt_tokens=rng.integers(3, 1000, 128),
+                          max_new_tokens=24) for _ in range(2)]:
+            eng.submit(r)
+        for _ in range(3):
+            eng.step()
+        eng.submit(Request(prompt_tokens=rng.integers(3, 1000, LONG),
+                           max_new_tokens=4))
+        eng.run()
         # 7 short decoding streams
         shorts = [Request(prompt_tokens=rng.integers(3, 1000, 128),
                           max_new_tokens=96) for _ in range(7)]
@@ -332,9 +345,16 @@ def stage5_chunked_ttft():
                            max_new_tokens=8)
         eng.submit(long_req)
         while eng.queue or eng.num_active:
+            had_queue = bool(eng.queue)
+            had_pending = any(p is not None for p in eng.slot_pending)
             s0 = time.monotonic()
             eng.step()
-            step_times.append(time.monotonic() - s0)
+            dt = time.monotonic() - s0
+            step_times.append(dt)
+            if dt > 0.5:
+                print(f"   SLOW step {len(step_times)}: {dt*1e3:.0f} ms "
+                      f"(admitting={had_queue}, mid_prefill={had_pending}, "
+                      f"active={eng.num_active})", flush=True)
         res = eng.finished
         long_ttft = [r.ttft_s for r in res if r.request_id == long_req.request_id]
         st = sorted(step_times)
