@@ -99,7 +99,8 @@ _LINEAR_KEYS = (("attn", "wq"), ("attn", "wk"), ("attn", "wv"), ("attn", "wo"),
 
 def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
                    group_size: int = 128, quantize_lm_head: bool = False,
-                   fuse: bool = False, **quant_kwargs) -> Dict:
+                   fuse: bool = False, dtype=jnp.bfloat16,
+                   **quant_kwargs) -> Dict:
     """Replace every block linear (and optionally lm_head) with a packed
     GemLiteLinear via `processor.from_weights` (defaults to HQQ-style
     asymmetric grouped quantization at the given bit width).
@@ -117,7 +118,14 @@ def quantize_llama(params: Dict, processor=None, W_nbits: int = 4,
     from ..helper import A16Wn_HQQ_INT
 
     if processor is None:
-        processor = A16Wn_HQQ_INT(W_nbits=W_nbits)
+        # dtype=bf16 (the model's activation dtype) marks the packed metas
+        # A16 — the decode/prefill Pallas kernels' eligible configuration.
+        # The previous default inferred FP32 from the float32 scale arrays,
+        # which silently routed every model linear through the dense-
+        # fallback oracle (itemsize>2 fails can_use_decode_kernel); scales
+        # stored in the model dtype matches the reference's A16W4 helpers
+        # (reference helper.py keeps scales in the torch model dtype).
+        processor = A16Wn_HQQ_INT(W_nbits=W_nbits, dtype=dtype)
 
     def q(w):
         w = np.asarray(w, dtype=np.float32)

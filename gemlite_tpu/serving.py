@@ -86,13 +86,35 @@ class ContinuousBatchingEngine:
                  paged: bool = True, page_size: int = 128,
                  total_pages: Optional[int] = None,
                  prefix_cache: bool = True,
-                 mesh=None, dp_axis: Optional[str] = None):
+                 mesh=None, dp_axis: Optional[str] = None,
+                 scan_layers: bool = False):
         from .models.llama import init_kv_cache
 
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.eos_id = eos_id
+        # scan-over-layers decode program (models/scan_llama): one lax.scan
+        # body instead of num_layers unrolled blocks — shrinks the decode
+        # HLO (and its compile time, the 8B bottleneck: 30-60 min through
+        # this environment's proxied compiler) ~L-fold. The stacked packed
+        # weights are read layer-by-layer INSIDE the Pallas kernel via a
+        # scalar-prefetch index map (ops/pallas_scan), so per-step HBM
+        # traffic matches the unrolled program. Decode only: prefill stays
+        # unrolled, and the paged-attention kernel has no layer-index
+        # operand yet, so scan_layers requires the dense bucketed cache.
+        self.scan_layers = bool(scan_layers)
+        self._stacked = None
+        if scan_layers:
+            if paged:
+                raise ValueError(
+                    "scan_layers requires paged=False (the paged-attention "
+                    "kernel takes no layer-index operand yet)")
+            if draft is not None:
+                raise ValueError("scan_layers does not cover the "
+                                 "speculative verify step; drop draft=")
+            from .models.scan_llama import stack_blocks
+            self._stacked = stack_blocks(params)
         # data-parallel continuous batching: slots (the batch axis of the KV
         # cache and every per-step token/length/temperature array) sharded
         # over mesh axis `dp_axis`; combine with tp-sharded params
@@ -519,7 +541,7 @@ class ContinuousBatchingEngine:
         return packed, kv, dkv, key
 
     def _decode_impl(self, params, tokens, kv, cache_lens, key, temps,
-                     active, t_active=None):
+                     active, t_active=None, stacked=None):
         """One batched decode step. tokens (B, 1); cache_lens (B,);
         temps (B,); active (B,) int32 mask; t_active static live-KV bucket.
         Inactive slots are masked by the stale-row/trash-page write
@@ -534,8 +556,14 @@ class ContinuousBatchingEngine:
 
         # inactive slots write their k/v at their (stale) cache_lens row and
         # never advance; the row is overwritten on (re)admission.
-        logits, kv = llama_decode_step_batched(params, self.cfg, tokens, kv,
-                                               cache_lens, t_active=t_active)
+        if stacked is not None:
+            from .models.scan_llama import llama_decode_step_scan
+            logits, kv = llama_decode_step_scan(stacked, params, self.cfg,
+                                                tokens, kv, cache_lens,
+                                                t_active=t_active)
+        else:
+            logits, kv = llama_decode_step_batched(
+                params, self.cfg, tokens, kv, cache_lens, t_active=t_active)
         logits = logits[:, 0, :].astype(jnp.float32)          # (B, V)
         key, sub = jax.random.split(key)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -809,7 +837,8 @@ class ContinuousBatchingEngine:
                 act_j = jax.device_put(act_j, self._dp["b"])
         nxt_j, self.kv, self.key, lens_next = self._decode_jit(
             self.params, tokens, self.kv, lens_j,
-            self.key, temps_j, act_j, t_active=t_act)
+            self.key, temps_j, act_j, t_active=t_act,
+            stacked=self._stacked)
         self._dev = {"tokens": nxt_j[:, None], "lens": lens_next,
                      "temps": temps_j, "active": act_j}
         self._dev_dirty = False
